@@ -1,0 +1,80 @@
+"""Host-side batch iterator with per-host sharded sampling.
+
+Replaces the reference's torch DataLoader + RandomSampler/DistributedSampler
+stack (view_synthesis/utils/util.py:59-90) with a seeded numpy pipeline:
+
+  * training: sampling WITH replacement, matching
+    ``RandomSampler(replacement=True, num_samples=iterations)`` (util.py:73-77)
+  * multi-host: each host draws from its own disjoint stream (distinct seed
+    per process), the TPU-native analog of per-rank seeding (train.py:29-31);
+    validation uses a SHARED seed so every host sees the identical batch
+    (replacing broadcast_object_list, eval.py:112-115)
+  * batches are stacked numpy dicts ready for device put
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+
+from codenerf_tpu.data.srn import SRNDataset
+from codenerf_tpu.data.blender import BlenderNeRFDataset
+from codenerf_tpu.data.llff import LLFFDataset
+
+DATASET_REGISTRY = {
+    "SRNDataset": SRNDataset,
+    "BlenderNeRFDataset": BlenderNeRFDataset,
+    "llff": LLFFDataset,
+    "LLFFDataset": LLFFDataset,
+}
+
+
+def build_dataset(cfg_dataset, stage: str):
+    """String-keyed dataset registry (reference util.py:68 getattr pattern)."""
+    cls = DATASET_REGISTRY.get(cfg_dataset.type)
+    if cls is None:
+        raise ValueError(f"unknown dataset type: {cfg_dataset.type}")
+    if cls is BlenderNeRFDataset:
+        return cls(cfg_dataset.basedir, stage,
+                   resolution_level=cfg_dataset.resolution_level)
+    if cls is LLFFDataset:
+        return cls(cfg_dataset.basedir, stage,
+                   downsample_factor=cfg_dataset.downsample_factor,
+                   llffhold=cfg_dataset.llffhold)
+    return cls(cfg_dataset.basedir, stage)
+
+
+def _stack(samples: list[dict]) -> dict:
+    return {k: np.stack([s[k] for s in samples]) for k in samples[0]}
+
+
+class BatchIterator:
+    """Infinite with-replacement batch stream over a dataset.
+
+    Args:
+      dataset: any registry dataset (len + __getitem__ -> sample dict).
+      batch_size: per-host batch size.
+      seed: RNG seed; pass ``seed + process_index`` for distinct per-host
+        training streams, plain ``seed`` for host-identical validation.
+    """
+
+    def __init__(self, dataset, batch_size: int, seed: int = 0):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.rng = np.random.default_rng(seed)
+
+    def __iter__(self) -> Iterator[dict]:
+        return self
+
+    def __next__(self) -> dict:
+        idx = self.rng.integers(0, len(self.dataset), size=self.batch_size)
+        return _stack([self.dataset[int(i)] for i in idx])
+
+    def fixed_batch(self, start: int = 0) -> dict:
+        """Deterministic sequential batch (for validation picks, e.g. the
+        reference's 6th-val-batch convention at eval.py:108-109)."""
+        n = len(self.dataset)
+        idx = [(start * self.batch_size + i) % n
+               for i in range(self.batch_size)]
+        return _stack([self.dataset[i] for i in idx])

@@ -1,0 +1,129 @@
+"""Stratified + hierarchical (inverse-CDF) point sampling along rays.
+
+Functional replacement for the reference's ``PointSampler`` class
+(view_synthesis/nerf/point_sampler.py:7-120).  Shapes are static, randomness
+comes from explicit PRNG keys, and everything jits/vmaps/shards.
+
+IMPORTANT NAMING TRAP reproduced on purpose (point_sampler.py:40-43): the
+reference's ``spacing_mode`` labels are inverted with respect to the usual
+NeRF convention —
+
+  * ``"lindisp"``  selects the branch that is linear in *depth*:
+        z = near (1-t) + far t
+  * ``"lindepth"`` (used by every shipped config) selects the branch that is
+    linear in *disparity*:
+        z = 1 / (1/near (1-t) + 1/far t)
+
+We replicate the math keyed by the same strings so the reference configs run
+unchanged and produce the same z placements.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def base_z_vals(num_samples: int, near: float, far: float, spacing_mode: str,
+                dtype=jnp.float32) -> jax.Array:
+    """The deterministic per-ray depth grid (point_sampler.py:33-43)."""
+    t = jnp.linspace(0.0, 1.0, num_samples, dtype=dtype)
+    if spacing_mode == "lindisp":
+        return near * (1.0 - t) + far * t
+    return 1.0 / (1.0 / near * (1.0 - t) + 1.0 / far * t)
+
+
+def stratified_bins(z_vals: jax.Array):
+    """Lower/upper stratification bin edges (point_sampler.py:45-47)."""
+    mids = 0.5 * (z_vals[..., 1:] + z_vals[..., :-1])
+    upper = jnp.concatenate([mids, z_vals[..., -1:]], axis=-1)
+    lower = jnp.concatenate([z_vals[..., :1], mids], axis=-1)
+    return lower, upper
+
+
+def sample_stratified(key: jax.Array | None, ro: jax.Array, rd: jax.Array,
+                      z_vals: jax.Array, perturb: bool):
+    """Uniform/stratified coarse sampling (point_sampler.py:49-71).
+
+    Args:
+      key:    PRNG key; required when ``perturb`` is True.
+      ro, rd: [R, 3] ray origins / directions.
+      z_vals: [S] base depth grid from `base_z_vals`.
+      perturb: jitter each sample uniformly within its stratification bin.
+
+    Returns:
+      pts [R, S, 3], z [R, S].
+    """
+    num_rays = ro.shape[-2]
+    num_samples = z_vals.shape[-1]
+    if perturb:
+        lower, upper = stratified_bins(z_vals)
+        t_rand = jax.random.uniform(key, (num_rays, num_samples), dtype=ro.dtype)
+        z = lower + (upper - lower) * t_rand
+    else:
+        z = jnp.broadcast_to(z_vals, (num_rays, num_samples))
+    pts = ro[..., None, :] + rd[..., None, :] * z[..., :, None]
+    return pts, z
+
+
+def sample_pdf(key: jax.Array | None, ro: jax.Array, rd: jax.Array,
+               weights: jax.Array, z_vals: jax.Array, num_fine: int,
+               perturb: bool):
+    """Hierarchical importance resampling by CDF inversion
+    (point_sampler.py:73-120).
+
+    Args:
+      key:     PRNG key; required when ``perturb`` is True.
+      ro, rd:  [R, 3] ray origins / directions.
+      weights: [R, S-2] interior coarse compositing weights (the caller slices
+               ``weights[..., 1:-1]`` exactly as reference
+               nerf/__init__.py:87 does).
+      z_vals:  [R, S] coarse depth samples.
+      num_fine: number of fine samples to draw.
+      perturb: stratified-uniform u draw vs deterministic linspace.
+
+    Returns:
+      pts [R, S+num_fine, 3], z_union [R, S+num_fine] (sorted union of coarse
+      and fine depths; fine depths carry no gradient — point_sampler.py:115).
+    """
+    num_coarse = z_vals.shape[-1]
+    assert weights.shape[-1] == num_coarse - 2, (
+        f"weights last dim {weights.shape[-1]} must equal num_coarse-2 "
+        f"({num_coarse - 2}); pass the interior slice weights[..., 1:-1]")
+
+    bins = 0.5 * (z_vals[..., 1:] + z_vals[..., :-1])        # [R, S-1]
+    w = weights + 1e-5
+    pdf = w / jnp.sum(w, axis=-1, keepdims=True)
+    cdf = jnp.cumsum(pdf, axis=-1)
+    cdf = jnp.concatenate([jnp.zeros_like(cdf[..., :1]), cdf], axis=-1)  # [R, S-1]
+
+    shape = cdf.shape[:-1] + (num_fine,)
+    if perturb:
+        u = jax.random.uniform(key, shape, dtype=weights.dtype)
+    else:
+        u = jnp.broadcast_to(
+            jnp.linspace(0.0, 1.0, num_fine, dtype=weights.dtype), shape)
+
+    # Invert the CDF: per-row right-searchsorted, clamped gather of the
+    # bracketing (cdf, bin) pairs (point_sampler.py:101-113).
+    inds = jax.vmap(lambda c, uu: jnp.searchsorted(c, uu, side="right"))(cdf, u)
+    below = jnp.maximum(0, inds - 1)
+    above = jnp.minimum(cdf.shape[-1] - 1, inds)
+
+    cdf_below = jnp.take_along_axis(cdf, below, axis=-1)
+    cdf_above = jnp.take_along_axis(cdf, above, axis=-1)
+    bins_below = jnp.take_along_axis(bins, below, axis=-1)
+    bins_above = jnp.take_along_axis(bins, above, axis=-1)
+
+    denom = cdf_above - cdf_below
+    denom = jnp.where(denom < 1e-5, jnp.ones_like(denom), denom)
+    t = (u - cdf_below) / denom
+    samples = bins_below + t * (bins_above - bins_below)
+
+    # Fine depths are non-differentiable w.r.t. coarse weights
+    # (point_sampler.py:115 `.detach()`).
+    z_samples = jax.lax.stop_gradient(samples)
+    z_union = jnp.sort(jnp.concatenate([z_vals, z_samples], axis=-1), axis=-1)
+
+    pts = ro[..., None, :] + rd[..., None, :] * z_union[..., :, None]
+    return pts, z_union

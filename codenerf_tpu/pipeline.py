@@ -1,0 +1,189 @@
+"""The NeRF render pipeline: coarse -> importance -> fine, as one pure function.
+
+TPU-native replacement for reference view_synthesis/nerf/__init__.py:74-134
+(`predict_radiance_and_render` + `forward_pass`).  Instead of a Python chunk
+loop over minibatches (reference train.py:84-114), the whole pipeline is a
+single traced function over a statically-shaped ray batch; XLA fuses the
+encode -> MLP -> composite chain, and the ray axis is shardable over a mesh.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Any, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from codenerf_tpu.config.schema import Config, ModelSpec, EmbedderConfig
+from codenerf_tpu.core.encoding import positional_encoding
+from codenerf_tpu.models.mlp import (
+    CodeNeRFConfig, FlexibleNeRFConfig,
+    init_codenerf, apply_codenerf,
+    init_flexible_nerf, apply_flexible_nerf,
+)
+from codenerf_tpu.ops.sampling import base_z_vals, sample_stratified, sample_pdf
+from codenerf_tpu.ops.volume_render import volume_render, RenderOutputs
+
+
+def model_config_from_spec(spec: ModelSpec, embedder: EmbedderConfig,
+                           shape_code_size: int, texture_code_size: int,
+                           compute_dtype: Optional[str] = None):
+    """String-keyed model registry (reference util.py:118 getattr pattern)."""
+    if spec.type == "CodeNeRFModel":
+        return CodeNeRFConfig(
+            hidden_size=spec.hidden_size,
+            shape_code_size=shape_code_size,
+            texture_code_size=texture_code_size,
+            num_encoding_fn_xyz=embedder.num_encoding_fn_xyz,
+            num_encoding_fn_dir=embedder.num_encoding_fn_dir,
+            include_input_xyz=embedder.include_input_xyz,
+            include_input_dir=embedder.include_input_dir,
+            compute_dtype=compute_dtype,
+        )
+    if spec.type == "FlexibleNeRFModel":
+        return FlexibleNeRFConfig(
+            num_layers=spec.num_layers,
+            hidden_size=spec.hidden_size,
+            skip_connect_ids=tuple(spec.skip_connect_ids),
+            num_encoding_fn_xyz=embedder.num_encoding_fn_xyz,
+            num_encoding_fn_dir=embedder.num_encoding_fn_dir,
+            include_input_xyz=embedder.include_input_xyz,
+            include_input_dir=embedder.include_input_dir,
+            use_viewdirs=embedder.use_viewdirs,
+            compute_dtype=compute_dtype,
+        )
+    raise ValueError(f"unknown model type: {spec.type}")
+
+
+def init_model(key: jax.Array, model_cfg) -> Any:
+    if isinstance(model_cfg, CodeNeRFConfig):
+        return init_codenerf(key, model_cfg)
+    return init_flexible_nerf(key, model_cfg)
+
+
+def apply_model(params, model_cfg, x, z_s=None, z_t=None):
+    if isinstance(model_cfg, CodeNeRFConfig):
+        return apply_codenerf(params, model_cfg, x, z_s, z_t)
+    return apply_flexible_nerf(params, model_cfg, x, z_s, z_t)
+
+
+@jax.tree_util.register_static
+@dataclass(frozen=True)
+class RenderSettings:
+    """Static render-pipeline configuration (hashable, jit-static)."""
+    num_coarse: int
+    num_fine: int
+    near: float
+    far: float
+    spacing_mode: str
+    num_encoding_fn_xyz: int
+    include_input_xyz: bool
+    log_sampling_xyz: bool
+    use_viewdirs: bool
+    num_encoding_fn_dir: int
+    include_input_dir: bool
+    log_sampling_dir: bool
+    coarse_cfg: Any
+    fine_cfg: Any
+
+    @staticmethod
+    def from_config(cfg: Config, compute_dtype: Optional[str] = None
+                    ) -> "RenderSettings":
+        ps, emb = cfg.nerf.point_sampler, cfg.nerf.embedder
+        dt = compute_dtype if compute_dtype is not None else (
+            cfg.runtime.compute_dtype or None)
+        if dt == "float32":
+            dt = None
+        mk = partial(model_config_from_spec, embedder=emb,
+                     shape_code_size=cfg.models.embedding.shape_code_size,
+                     texture_code_size=cfg.models.embedding.texture_code_size,
+                     compute_dtype=dt)
+        return RenderSettings(
+            num_coarse=ps.num_coarse, num_fine=ps.num_fine,
+            near=ps.near_limit, far=ps.far_limit,
+            spacing_mode=ps.spacing_mode,
+            num_encoding_fn_xyz=emb.num_encoding_fn_xyz,
+            include_input_xyz=emb.include_input_xyz,
+            log_sampling_xyz=emb.log_sampling_xyz,
+            use_viewdirs=emb.use_viewdirs,
+            num_encoding_fn_dir=emb.num_encoding_fn_dir,
+            include_input_dir=emb.include_input_dir,
+            log_sampling_dir=emb.log_sampling_dir,
+            coarse_cfg=mk(cfg.models.nerf_coarse),
+            fine_cfg=mk(cfg.models.nerf_fine),
+        )
+
+
+def encode_inputs(settings: RenderSettings, pts: jax.Array, rd: jax.Array
+                  ) -> jax.Array:
+    """Positional-encode sample points (+ viewdirs) into the MLP input.
+
+    pts: [R, S, 3]; rd: [R, 3].  Returns [R, S, dim_xyz + dim_dir]
+    (reference nerf/__init__.py:117-130, kept [R, S, .] instead of flattened).
+    """
+    enc = positional_encoding(pts, settings.num_encoding_fn_xyz,
+                              settings.include_input_xyz,
+                              settings.log_sampling_xyz)
+    if settings.use_viewdirs:
+        viewdirs = rd / jnp.linalg.norm(rd, axis=-1, keepdims=True)
+        enc_dir = positional_encoding(viewdirs, settings.num_encoding_fn_dir,
+                                      settings.include_input_dir,
+                                      settings.log_sampling_dir)
+        enc_dir = jnp.broadcast_to(enc_dir[..., None, :],
+                                   pts.shape[:-1] + (enc_dir.shape[-1],))
+        enc = jnp.concatenate([enc, enc_dir], axis=-1)
+    return enc
+
+
+def _forward(params, model_cfg, settings, pts, rd, z_s, z_t):
+    """encode -> MLP over [R, S] samples (reference forward_pass,
+    nerf/__init__.py:94-134)."""
+    x = encode_inputs(settings, pts, rd)
+    num_samples = pts.shape[-2]
+    if z_s is not None:
+        z_s = jnp.broadcast_to(z_s[..., None, :],
+                               pts.shape[:-1] + (z_s.shape[-1],))
+        z_t = jnp.broadcast_to(z_t[..., None, :],
+                               pts.shape[:-1] + (z_t.shape[-1],))
+    return apply_model(params, model_cfg, x, z_s, z_t)
+
+
+def render_rays(params: dict, settings: RenderSettings, ro: jax.Array,
+                rd: jax.Array, z_s: Optional[jax.Array],
+                z_t: Optional[jax.Array], key: Optional[jax.Array],
+                perturb: bool) -> Tuple[RenderOutputs, RenderOutputs]:
+    """Full coarse -> importance -> fine render for a ray batch.
+
+    Reference call stack: predict_radiance_and_render
+    (nerf/__init__.py:74-91).
+
+    Args:
+      params: {"coarse": pytree, "fine": pytree}.
+      ro, rd: [R, 3] world-frame ray origins / directions.
+      z_s, z_t: [R, C] per-ray latent codes, or None for vanilla NeRF.
+      key: PRNG key (required when perturb).
+      perturb: stratified jitter + random CDF inversion.
+
+    Returns: (coarse, fine) RenderOutputs.
+    """
+    if perturb:
+        k1, k2 = jax.random.split(key)
+    else:
+        k1 = k2 = None
+
+    z_grid = base_z_vals(settings.num_coarse, settings.near, settings.far,
+                         settings.spacing_mode, dtype=ro.dtype)
+    pts_c, z_c = sample_stratified(k1, ro, rd, z_grid, perturb)
+    raw_c = _forward(params["coarse"], settings.coarse_cfg, settings,
+                     pts_c, rd, z_s, z_t)
+    out_c = volume_render(raw_c, z_c, rd)
+
+    # Interior-weight slice per reference nerf/__init__.py:87.
+    pts_f, z_f = sample_pdf(k2, ro, rd, out_c.weights[..., 1:-1], z_c,
+                            settings.num_fine, perturb)
+    raw_f = _forward(params["fine"], settings.fine_cfg, settings,
+                     pts_f, rd, z_s, z_t)
+    out_f = volume_render(raw_f, z_f, rd)
+    return out_c, out_f

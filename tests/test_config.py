@@ -1,0 +1,87 @@
+"""Config system: loads every reference YAML unchanged (all 3 schema
+generations), applies dotted overrides, dumps resolved config."""
+
+from pathlib import Path
+
+import pytest
+
+from codenerf_tpu.config import load_config, dump_config
+
+REF_CONFIGS = Path("/root/reference/config")
+
+
+class TestReferenceConfigs:
+    @pytest.mark.parametrize("name", [
+        "srn-cars-code.yml", "srn-chairs-code.yml", "srn-cars-code-3080.yml",
+        "srn-cars-code-3080-val.yml", "lego.yml", "srn-cars.yml",
+        "srn-chairs.yml", "fern.yml",
+    ])
+    def test_loads(self, name):
+        cfg = load_config(REF_CONFIGS / name)
+        assert cfg.experiment.iterations > 0
+        assert cfg.nerf.point_sampler.num_coarse > 0
+        assert cfg.nerf.point_sampler.far_limit > cfg.nerf.point_sampler.near_limit
+
+    def test_modern_schema_values(self):
+        cfg = load_config(REF_CONFIGS / "srn-cars-code.yml")
+        assert cfg.models.nerf_coarse.type == "CodeNeRFModel"
+        assert cfg.models.nerf_coarse.hidden_size == 256
+        assert cfg.models.embedding.shape_code_size == 256
+        assert cfg.nerf.point_sampler.num_coarse == 32
+        assert cfg.nerf.point_sampler.num_fine == 128
+        assert cfg.nerf.point_sampler.spacing_mode == "lindepth"
+        assert cfg.optimizer.type == "AdamW"
+        assert cfg.optimizer.resolved_embedding_lr == pytest.approx(1e-3)
+        assert cfg.optimizer.resolved_val_type == "AdamW"
+        # defaults for keys absent in this yaml (reference eval.py would
+        # crash on them: cfg.optimizer.angle_lr)
+        assert cfg.optimizer.resolved_angle_lr == cfg.optimizer.val_lr
+        assert cfg.experiment.regularizer_lambda == pytest.approx(1e-5)
+
+    def test_chairs_has_explicit_tto_lrs(self):
+        cfg = load_config(REF_CONFIGS / "srn-chairs-code.yml")
+        assert cfg.optimizer.resolved_angle_lr == pytest.approx(5e-2)
+        assert cfg.optimizer.resolved_radius_lr == pytest.approx(1e-1)
+        assert cfg.nerf.point_sampler.near_limit == pytest.approx(1.25)
+
+    def test_legacy_models_coarse_schema(self):
+        cfg = load_config(REF_CONFIGS / "lego.yml")
+        assert cfg.models.nerf_coarse.type == "FlexibleNeRFModel"
+        assert cfg.models.nerf_coarse.num_layers == 8
+        assert cfg.models.nerf_coarse.skip_connect_ids == (4,)
+        assert cfg.nerf.point_sampler.near_limit == pytest.approx(2.0)
+        assert cfg.dataset.type == "BlenderNeRFDataset"
+
+    def test_fern_oldest_schema(self):
+        cfg = load_config(REF_CONFIGS / "fern.yml")
+        assert cfg.experiment.iterations == 250000          # train_iters
+        assert cfg.optimizer.scheduler_step_size == 250000  # lr_decay * 1000
+        assert cfg.optimizer.scheduler_gamma == pytest.approx(0.1)
+        assert cfg.nerf.ray_sampler.num_random_rays == 4096
+        assert cfg.nerf.point_sampler.num_coarse == 64
+        # lindisp: False in old schema = linear in depth = modern "lindisp"
+        assert cfg.nerf.point_sampler.spacing_mode == "lindisp"
+        assert cfg.models.nerf_coarse.hidden_size == 64
+        assert cfg.nerf.embedder.num_encoding_fn_xyz == 6
+
+    def test_dotted_overrides(self):
+        cfg = load_config(REF_CONFIGS / "srn-cars-code.yml",
+                          overrides=["optimizer.lr=3e-4",
+                                     "nerf.point_sampler.num_coarse=64",
+                                     "experiment.id=foo"])
+        assert cfg.optimizer.lr == pytest.approx(3e-4)
+        assert cfg.nerf.point_sampler.num_coarse == 64
+        assert cfg.experiment.id == "foo"
+
+    def test_unknown_override_raises(self):
+        with pytest.raises(KeyError):
+            load_config(REF_CONFIGS / "srn-cars-code.yml",
+                        overrides=["optimizer.bogus=1"])
+
+    def test_dump_roundtrip(self, tmp_path):
+        cfg = load_config(REF_CONFIGS / "srn-cars-code.yml")
+        out = tmp_path / "config.yml"
+        dump_config(cfg, out)
+        cfg2 = load_config(out)
+        assert cfg2.models.nerf_coarse.hidden_size == 256
+        assert cfg2.nerf.point_sampler.spacing_mode == "lindepth"

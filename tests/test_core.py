@@ -1,0 +1,163 @@
+"""Unit + parity tests for codenerf_tpu.core (geometry, encoding, lie, metrics)."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from codenerf_tpu.core import (
+    pixel_directions, ray_bundle, select_ray_indices, pose_spherical,
+    positional_encoding, encoding_dim, lie, mse2psnr,
+)
+from tests.reference_loader import load_reference_module
+
+
+def _intrinsic(focal=100.0, cx=32.0, cy=24.0):
+    k = np.eye(4, dtype=np.float32)
+    k[0, 0] = k[1, 1] = focal
+    k[0, 2], k[1, 2] = cx, cy
+    return k
+
+
+class TestGeometryParity:
+    def test_pixel_directions_matches_reference(self):
+        import torch
+        ray_sampler_mod = load_reference_module(
+            "ref_ray_sampler", "view_synthesis/nerf/ray_sampler.py")
+        H, W = 48, 64
+        k = _intrinsic()
+        ref = ray_sampler_mod.RaySampler(H, W, k, sample_size=16,
+                                         device="cpu", datatype=torch.float32)
+        ours = pixel_directions(H, W, jnp.asarray(k))
+        np.testing.assert_allclose(np.asarray(ours),
+                                   ref.directions.numpy(), rtol=1e-6)
+
+    def test_ray_bundle_matches_reference(self):
+        import torch
+        ray_sampler_mod = load_reference_module(
+            "ref_ray_sampler", "view_synthesis/nerf/ray_sampler.py")
+        H, W, B = 20, 30, 3
+        k = _intrinsic(80.0, 15.0, 10.0)
+        rng = np.random.default_rng(0)
+        # random valid-ish SE3 poses
+        poses = np.tile(np.eye(4, dtype=np.float32), (B, 1, 1))
+        for b in range(B):
+            q = rng.normal(size=3).astype(np.float32) * 0.5
+            poses[b, :3, :3] = np.asarray(lie.so3_exp(jnp.asarray(q)))
+            poses[b, :3, 3] = rng.normal(size=3).astype(np.float32)
+
+        ref = ray_sampler_mod.RaySampler(H, W, k, sample_size=16,
+                                         device="cpu", datatype=torch.float32)
+        ro_ref, rd_ref = ref.get_bundle(torch.from_numpy(poses))
+
+        dirs = pixel_directions(H, W, jnp.asarray(k))
+        ro, rd = ray_bundle(dirs, jnp.asarray(poses))
+        np.testing.assert_allclose(np.asarray(rd), rd_ref.numpy(),
+                                   rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(ro), ro_ref.numpy(), rtol=1e-6)
+
+    def test_select_ray_indices_distinct_and_in_range(self):
+        key = jax.random.PRNGKey(0)
+        inds = select_ray_indices(key, num_pixels=100, sample_size=32,
+                                  batch_size=4)
+        assert inds.shape == (4, 32)
+        for row in np.asarray(inds):
+            assert len(set(row.tolist())) == 32
+            assert row.min() >= 0 and row.max() < 100
+        # distinct draws per batch element
+        assert not np.array_equal(np.asarray(inds[0]), np.asarray(inds[1]))
+
+
+class TestPoseSpherical:
+    def test_matches_reference_layout(self):
+        # Oracle reproduces eval.py:33-38 entry-by-entry.
+        theta, phi, rho = 1.57, 0.35, 1.30
+        st, ct, sp, cp = np.sin(theta), np.cos(theta), np.sin(phi), np.cos(phi)
+        want = np.eye(4)
+        want[0, 0], want[1, 0] = -sp, cp
+        want[0, 1], want[1, 1], want[2, 1] = -st * cp, -st * sp, ct
+        want[0, 2], want[1, 2], want[2, 2] = ct * cp, ct * sp, st
+        want[0, 3], want[1, 3], want[2, 3] = rho * ct * cp, rho * ct * sp, rho * st
+        got = pose_spherical(jnp.float32(theta), jnp.float32(phi),
+                             jnp.float32(rho))
+        np.testing.assert_allclose(np.asarray(got), want, rtol=1e-5, atol=1e-6)
+
+    def test_rotation_orthonormal(self):
+        got = np.asarray(pose_spherical(0.7, -0.4, 2.0))
+        R = got[:3, :3]
+        np.testing.assert_allclose(R @ R.T, np.eye(3), atol=1e-6)
+        assert np.linalg.det(R) == pytest.approx(1.0, abs=1e-5)
+
+    def test_differentiable(self):
+        def f(theta):
+            return jnp.sum(pose_spherical(theta, 0.1, 1.3))
+        g = jax.grad(f)(jnp.float32(1.0))
+        assert np.isfinite(np.asarray(g))
+
+
+class TestEncodingParity:
+    @pytest.mark.parametrize("num_freq,log_sampling,include_input", [
+        (10, True, True), (4, True, True), (6, False, True), (3, True, False),
+    ])
+    def test_matches_reference(self, num_freq, log_sampling, include_input):
+        import torch
+        pe_mod = load_reference_module(
+            "ref_position_embed", "view_synthesis/nerf/position_embed.py")
+        ref = pe_mod.PositionalEmbedder(num_freq=num_freq,
+                                        log_sampling=log_sampling,
+                                        include_input=include_input,
+                                        dtype=torch.float32, device="cpu")
+        x = np.random.default_rng(1).normal(size=(17, 3)).astype(np.float32)
+        want = ref.embed(torch.from_numpy(x)).numpy()
+        got = positional_encoding(jnp.asarray(x), num_freq,
+                                  include_input=include_input,
+                                  log_sampling=log_sampling)
+        assert got.shape[-1] == encoding_dim(3, num_freq, include_input)
+        np.testing.assert_allclose(np.asarray(got), want, rtol=1e-5, atol=1e-5)
+
+
+class TestLie:
+    def test_so3_exp_log_roundtrip(self):
+        rng = np.random.default_rng(2)
+        for scale in [1e-6, 1e-3, 0.5, 2.0, 3.0]:
+            w = rng.normal(size=(8, 3)).astype(np.float64)
+            w = w / np.linalg.norm(w, axis=-1, keepdims=True) * scale
+            R = lie.so3_exp(jnp.asarray(w))
+            w2 = lie.so3_log(R)
+            np.testing.assert_allclose(np.asarray(w2), w, rtol=1e-4, atol=1e-6)
+
+    def test_se3_exp_log_roundtrip(self):
+        rng = np.random.default_rng(3)
+        for scale in [1e-5, 0.1, 1.0, 2.5]:
+            xi = rng.normal(size=(6, 6)).astype(np.float64)
+            xi[:, 3:] = (xi[:, 3:] /
+                         np.linalg.norm(xi[:, 3:], axis=-1, keepdims=True) * scale)
+            T = lie.se3_exp(jnp.asarray(xi))
+            xi2 = lie.se3_log(T)
+            np.testing.assert_allclose(np.asarray(xi2), xi, rtol=1e-4, atol=1e-6)
+
+    def test_se3_inverse(self):
+        xi = jnp.asarray(np.random.default_rng(4).normal(size=(5, 6)) * 0.7)
+        T = lie.se3_exp(xi)
+        ident = np.asarray(T @ lie.se3_inverse(T))
+        np.testing.assert_allclose(ident, np.tile(np.eye(4), (5, 1, 1)),
+                                   atol=1e-5)
+
+    def test_pose_error_zero_at_identity(self):
+        xi = jnp.asarray(np.random.default_rng(5).normal(size=(6,)) * 0.5)
+        T = lie.se3_exp(xi)
+        assert float(lie.pose_error(T, T)) == pytest.approx(0.0, abs=1e-5)
+
+    def test_pose_error_differentiable(self):
+        T_gt = lie.se3_exp(jnp.asarray(np.random.default_rng(6).normal(size=6) * 0.3))
+
+        def f(theta):
+            return lie.pose_error(T_gt, pose_spherical(theta, 0.1, 1.3))
+        g = jax.grad(f)(jnp.float64(1.0))
+        assert np.isfinite(np.asarray(g))
+
+
+class TestMetrics:
+    def test_mse2psnr(self):
+        assert float(mse2psnr(jnp.float32(0.01))) == pytest.approx(20.0, abs=1e-4)
+        assert np.isfinite(float(mse2psnr(jnp.float32(0.0))))

@@ -1,0 +1,165 @@
+"""Dataset loaders against tiny synthetic on-disk datasets."""
+
+import json
+
+import numpy as np
+import pytest
+import imageio.v2 as imageio
+
+from codenerf_tpu.data import (
+    SRNDataset, BlenderNeRFDataset, LLFFDataset, BatchIterator, build_dataset,
+)
+
+
+@pytest.fixture
+def srn_root(tmp_path):
+    """Two-object SRN-style tree: <root>/cars_train/<obj>/{intrinsics.txt,rgb,pose}."""
+    root = tmp_path / "srn_cars"
+    base = root / "cars_train"
+    rng = np.random.default_rng(0)
+    H = W = 16
+    for obj in ["obj_a", "obj_b"]:
+        d = base / obj
+        (d / "rgb").mkdir(parents=True)
+        (d / "pose").mkdir()
+        (d / "intrinsics.txt").write_text(
+            f"20.0 {W/2} {H/2} 0.\n0. 0. 0.\n1.\n{H} {W}\n")
+        for v in range(3):
+            img = rng.integers(0, 255, size=(H, W, 3), dtype=np.uint8)
+            img[:4, :4] = 255  # pure-white corner -> mask 0 there
+            imageio.imwrite(d / "rgb" / f"{v:06d}.png", img)
+            pose = np.eye(4)
+            pose[:3, 3] = rng.normal(size=3)
+            np.savetxt(d / "pose" / f"{v:06d}.txt", pose.reshape(1, 16))
+    return root
+
+
+class TestSRNDataset:
+    def test_scan_and_sample(self, srn_root):
+        ds = SRNDataset(str(srn_root), "train")
+        assert ds.num_objects == 2
+        assert ds.num_views == 3
+        assert len(ds) == 6
+        s = ds[0]
+        # 16x16 image, crop 2 px per side -> 12x12
+        assert s["color"].shape == (12, 12, 3)
+        assert s["mask"].shape == (12, 12, 1)
+        assert s["intrinsic"].shape == (4, 4)
+        # crop-adjusted principal point: 8 - 2 = 6
+        assert s["intrinsic"][0, 2] == pytest.approx(6.0)
+        assert s["intrinsic"][0, 0] == pytest.approx(20.0)
+        # white corner (partially cropped) must be masked out
+        assert s["mask"][0, 0, 0] == 0.0
+        # OpenGL->OpenCV: pose columns 1,2 negated vs identity
+        assert s["pose"][1, 1] == pytest.approx(-1.0)
+        assert s["pose"][2, 2] == pytest.approx(-1.0)
+        assert s["object_id"] == 0
+        assert ds[5]["object_id"] == 1
+
+    def test_registry(self, srn_root):
+        from codenerf_tpu.config.schema import DatasetConfig
+        ds = build_dataset(DatasetConfig(type="SRNDataset",
+                                         basedir=str(srn_root)), "train")
+        assert len(ds) == 6
+
+
+@pytest.fixture
+def blender_root(tmp_path):
+    root = tmp_path / "lego"
+    root.mkdir()
+    rng = np.random.default_rng(1)
+    frames = []
+    for stage in ["train", "val"]:
+        for v in range(2):
+            name = f"./{stage}/r_{v}"
+            (root / stage).mkdir(exist_ok=True)
+            img = rng.integers(0, 255, size=(16, 16, 4), dtype=np.uint8)
+            imageio.imwrite(root / stage / f"r_{v}.png", img)
+            pose = np.eye(4)
+            pose[:3, 3] = rng.normal(size=3)
+            frames.append({"file_path": name,
+                           "transform_matrix": pose.tolist()})
+        meta = {"camera_angle_x": 0.69, "frames": frames[-2:]}
+        (root / f"transforms_{stage}.json").write_text(json.dumps(meta))
+    return root
+
+
+class TestBlenderDataset:
+    def test_load(self, blender_root):
+        ds = BlenderNeRFDataset(str(blender_root), "train")
+        assert len(ds) == 2
+        s = ds[0]
+        assert s["color"].shape == (16, 16, 4)
+        focal = 0.5 * 16 / np.tan(0.5 * 0.69)
+        assert s["intrinsic"][0, 0] == pytest.approx(focal, rel=1e-5)
+        assert s["mask"].shape == (16, 16, 1)
+
+    def test_downsample(self, blender_root):
+        ds = BlenderNeRFDataset(str(blender_root), "train", resolution_level=2)
+        s = ds[0]
+        assert s["color"].shape == (8, 8, 4)
+        assert s["intrinsic"][0, 0] == pytest.approx(
+            0.5 * 8 / np.tan(0.5 * 0.69), rel=1e-5)
+
+
+@pytest.fixture
+def llff_root(tmp_path):
+    root = tmp_path / "fern"
+    (root / "images").mkdir(parents=True)
+    rng = np.random.default_rng(2)
+    N, H, W = 6, 16, 24
+    pb = np.zeros((N, 17))
+    for i in range(N):
+        img = rng.integers(0, 255, size=(H, W, 3), dtype=np.uint8)
+        imageio.imwrite(root / "images" / f"img_{i:03d}.png", img)
+        pose = np.eye(4)[:3]
+        pose[:3, 3] = rng.normal(size=3) * 0.1
+        hwf = np.array([H, W, 30.0]).reshape(3, 1)
+        pb[i, :15] = np.concatenate([pose, hwf], axis=1).ravel()
+        pb[i, 15:] = [1.0, 10.0]
+    np.save(root / "poses_bounds.npy", pb)
+    return root
+
+
+class TestLLFFDataset:
+    def test_split_and_load(self, llff_root):
+        tr = LLFFDataset(str(llff_root), "train", downsample_factor=1,
+                         llffhold=3)
+        va = LLFFDataset(str(llff_root), "val", downsample_factor=1,
+                         llffhold=3)
+        assert len(tr) == 4 and len(va) == 2
+        s = tr[0]
+        assert s["color"].shape == (16, 24, 3)
+        assert s["pose"].shape == (4, 4)
+        assert np.isfinite(s["pose"]).all()
+
+    def test_memory_downsample(self, llff_root):
+        tr = LLFFDataset(str(llff_root), "train", downsample_factor=2,
+                         llffhold=3)
+        s = tr[0]
+        assert s["color"].shape == (8, 12, 3)
+        # focal rescaled by width ratio
+        assert s["intrinsic"][0, 0] == pytest.approx(15.0, rel=1e-5)
+
+
+class TestBatchIterator:
+    def test_batching_and_seeding(self, srn_root):
+        ds = SRNDataset(str(srn_root), "train")
+        it1 = BatchIterator(ds, batch_size=4, seed=7)
+        it2 = BatchIterator(ds, batch_size=4, seed=7)
+        it3 = BatchIterator(ds, batch_size=4, seed=8)
+        b1, b2, b3 = next(it1), next(it2), next(it3)
+        assert b1["color"].shape == (4, 12, 12, 3)
+        assert b1["pose"].shape == (4, 4, 4)
+        np.testing.assert_array_equal(b1["object_id"], b2["object_id"])
+        # different seed -> (almost surely) different draw sequence
+        same = all(np.array_equal(next(it1)["color"], next(it3)["color"])
+                   for _ in range(3))
+        assert not same
+
+    def test_fixed_batch_deterministic(self, srn_root):
+        ds = SRNDataset(str(srn_root), "train")
+        it = BatchIterator(ds, batch_size=2, seed=0)
+        f1 = it.fixed_batch(start=5)
+        f2 = it.fixed_batch(start=5)
+        np.testing.assert_array_equal(f1["color"], f2["color"])

@@ -1,0 +1,189 @@
+"""End-to-end render pipeline tests: full coarse->fine parity vs the reference
+stack at fixed inputs, plus shape/grad sanity."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from codenerf_tpu.config import load_config
+from codenerf_tpu.pipeline import (
+    RenderSettings, render_rays, init_model, model_config_from_spec,
+)
+from tests.reference_loader import load_reference_module
+
+
+def _settings(num_coarse=16, num_fine=8, hidden=32, code=16):
+    from codenerf_tpu.config.schema import (
+        Config, ModelsConfig, ModelSpec, EmbeddingSpec, NerfConfig,
+        PointSamplerConfig, EmbedderConfig, RuntimeConfig,
+    )
+    cfg = Config(
+        models=ModelsConfig(
+            nerf_coarse=ModelSpec(type="CodeNeRFModel", hidden_size=hidden),
+            nerf_fine=ModelSpec(type="CodeNeRFModel", hidden_size=hidden),
+            embedding=EmbeddingSpec(shape_code_size=code,
+                                    texture_code_size=code),
+        ),
+        nerf=NerfConfig(point_sampler=PointSamplerConfig(
+            num_coarse=num_coarse, num_fine=num_fine,
+            near_limit=0.8, far_limit=1.8)),
+        runtime=RuntimeConfig(compute_dtype="float32"),
+    )
+    return RenderSettings.from_config(cfg)
+
+
+class TestRenderRays:
+    def test_shapes_and_determinism(self):
+        s = _settings()
+        key = jax.random.PRNGKey(0)
+        kc, kf, kr = jax.random.split(key, 3)
+        params = {"coarse": init_model(kc, s.coarse_cfg),
+                  "fine": init_model(kf, s.fine_cfg)}
+        R, C = 24, 16
+        rng = np.random.default_rng(0)
+        ro = jnp.asarray(rng.normal(size=(R, 3)), dtype=jnp.float32)
+        rd = jnp.asarray(rng.normal(size=(R, 3)), dtype=jnp.float32)
+        z_s = jnp.asarray(rng.normal(size=(R, C)), dtype=jnp.float32)
+        z_t = jnp.asarray(rng.normal(size=(R, C)), dtype=jnp.float32)
+
+        out_c, out_f = render_rays(params, s, ro, rd, z_s, z_t, kr, True)
+        assert out_c.rgb.shape == (R, 3)
+        assert out_c.weights.shape == (R, 16)
+        assert out_f.rgb.shape == (R, 3)
+        assert out_f.weights.shape == (R, 24)
+
+        # deterministic given the same key
+        out_c2, out_f2 = render_rays(params, s, ro, rd, z_s, z_t, kr, True)
+        np.testing.assert_array_equal(np.asarray(out_f.rgb),
+                                      np.asarray(out_f2.rgb))
+
+    def test_full_parity_vs_reference_stack(self):
+        """Whole pipeline (no perturb) vs reference predict_radiance_and_render
+        with identical weights and rays — the BASELINE.json parity bar."""
+        import torch
+        model_mod = load_reference_module(
+            "ref_model", "view_synthesis/models/model.py")
+        ps_mod = load_reference_module(
+            "ref_point_sampler", "view_synthesis/nerf/point_sampler.py")
+        pe_mod = load_reference_module(
+            "ref_position_embed", "view_synthesis/nerf/position_embed.py")
+        vr_mod = load_reference_module(
+            "ref_volumetric_render", "view_synthesis/nerf/volumetric_render.py")
+
+        hidden, code, num_coarse, num_fine = 64, 32, 16, 8
+        s = _settings(num_coarse, num_fine, hidden, code)
+        kc, kf = jax.random.split(jax.random.PRNGKey(1))
+        params = {"coarse": init_model(kc, s.coarse_cfg),
+                  "fine": init_model(kf, s.fine_cfg)}
+
+        # Mirror weights into torch models
+        refs = {}
+        for name, p in params.items():
+            m = model_mod.CodeNeRFModel(
+                hidden_size=hidden, shape_code_size=code,
+                texture_code_size=code, num_encoding_fn_xyz=10,
+                num_encoding_fn_dir=4)
+            for lname in ["layer_xyz1", "layer_xyz2", "fc_out",
+                          "shape_code_layer1", "shape_code_layer2",
+                          "texture_code_layer1", "layer_dir1", "layer_dir2",
+                          "fc_rgb"]:
+                with torch.no_grad():
+                    getattr(m, lname).weight.copy_(torch.from_numpy(
+                        np.asarray(p[lname]["w"]).T.copy()))
+                    getattr(m, lname).bias.copy_(torch.from_numpy(
+                        np.asarray(p[lname]["b"]).copy()))
+            refs[name] = m
+
+        rng = np.random.default_rng(5)
+        R = 10
+        ro = rng.normal(size=(R, 3)).astype(np.float32)
+        rd = rng.normal(size=(R, 3)).astype(np.float32)
+        z_s = rng.normal(size=(R, code)).astype(np.float32) * 0.3
+        z_t = rng.normal(size=(R, code)).astype(np.float32) * 0.3
+
+        # --- reference stack (torch, CPU, no perturb) ---
+        point_sampler = ps_mod.PointSampler(
+            num_coarse, num_fine, 0.8, 1.8, spacing_mode="lindepth",
+            perturb=False, dtype=torch.float32, device="cpu")
+        emb_xyz = pe_mod.PositionalEmbedder(10, True, True, torch.float32, "cpu")
+        emb_dir = pe_mod.PositionalEmbedder(4, True, True, torch.float32, "cpu")
+
+        def ref_forward(model, rd_t, pts):
+            nr, ns = pts.shape[0], pts.shape[1]
+            zs = torch.from_numpy(z_s)[:, None, :].expand(-1, ns, -1).reshape(-1, code)
+            zt = torch.from_numpy(z_t)[:, None, :].expand(-1, ns, -1).reshape(-1, code)
+            flat = pts.reshape(-1, 3)
+            e = emb_xyz.embed(flat)
+            vd = rd_t / rd_t.norm(p=2, dim=-1).unsqueeze(-1)
+            ed = emb_dir.embed(vd[:, None, :].expand(-1, ns, -1).reshape(-1, 3))
+            x = torch.cat([e, ed], dim=-1)
+            out = model(zs, zt, x)
+            return out.reshape(nr, ns, 4)
+
+        ro_t, rd_t = torch.from_numpy(ro), torch.from_numpy(rd)
+        pts_c, z_c = point_sampler.sample_uniform(ro_t, rd_t)
+        raw_c = ref_forward(refs["coarse"], rd_t, pts_c)
+        rgb_c, _, _, w_c, _ = vr_mod.volume_render(raw_c, z_c, rd_t)
+        pts_f, z_f = point_sampler.sample_pdf(ro_t, rd_t, w_c[..., 1:-1], z_c)
+        raw_f = ref_forward(refs["fine"], rd_t, pts_f)
+        rgb_f, _, _, _, _ = vr_mod.volume_render(raw_f, z_f, rd_t)
+
+        # --- our stack ---
+        out_c, out_f = render_rays(params, s, jnp.asarray(ro), jnp.asarray(rd),
+                                   jnp.asarray(z_s), jnp.asarray(z_t),
+                                   None, False)
+
+        np.testing.assert_allclose(np.asarray(out_c.rgb),
+                                   rgb_c.detach().numpy(), rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(out_f.rgb),
+                                   rgb_f.detach().numpy(), rtol=1e-4, atol=1e-5)
+
+    def test_gradient_flows_to_codes_and_params(self):
+        s = _settings()
+        kc, kf = jax.random.split(jax.random.PRNGKey(2))
+        params = {"coarse": init_model(kc, s.coarse_cfg),
+                  "fine": init_model(kf, s.fine_cfg)}
+        R, C = 8, 16
+        rng = np.random.default_rng(1)
+        ro = jnp.asarray(rng.normal(size=(R, 3)), dtype=jnp.float32)
+        rd = jnp.asarray(rng.normal(size=(R, 3)), dtype=jnp.float32)
+        z = jnp.asarray(rng.normal(size=(R, C)), dtype=jnp.float32)
+
+        def loss(p, zz):
+            c, f = render_rays(p, s, ro, rd, zz, zz, None, False)
+            return jnp.sum(c.rgb ** 2) + jnp.sum(f.rgb ** 2)
+
+        gp, gz = jax.grad(loss, argnums=(0, 1))(params, z)
+        assert float(jnp.abs(gz).sum()) > 0
+        assert float(jnp.abs(gp["coarse"]["layer_xyz1"]["w"]).sum()) > 0
+        assert float(jnp.abs(gp["fine"]["fc_rgb"]["w"]).sum()) > 0
+
+    def test_flexible_nerf_pathway_works(self):
+        """The vanilla-NeRF configs are stale/broken in the reference harness
+        (SURVEY §3.6); here they must work end-to-end."""
+        from codenerf_tpu.config.schema import (
+            Config, ModelsConfig, ModelSpec, NerfConfig, PointSamplerConfig,
+            RuntimeConfig,
+        )
+        cfg = Config(
+            models=ModelsConfig(
+                nerf_coarse=ModelSpec(type="FlexibleNeRFModel", hidden_size=32,
+                                      num_layers=4),
+                nerf_fine=ModelSpec(type="FlexibleNeRFModel", hidden_size=32,
+                                    num_layers=4),
+            ),
+            nerf=NerfConfig(point_sampler=PointSamplerConfig(
+                num_coarse=16, num_fine=8, near_limit=2.0, far_limit=6.0)),
+            runtime=RuntimeConfig(compute_dtype="float32"),
+        )
+        s = RenderSettings.from_config(cfg)
+        kc, kf, kr = jax.random.split(jax.random.PRNGKey(3), 3)
+        params = {"coarse": init_model(kc, s.coarse_cfg),
+                  "fine": init_model(kf, s.fine_cfg)}
+        R = 6
+        ro = jnp.zeros((R, 3))
+        rd = jnp.ones((R, 3))
+        out_c, out_f = render_rays(params, s, ro, rd, None, None, kr, True)
+        assert out_f.rgb.shape == (R, 3)
+        assert np.isfinite(np.asarray(out_f.rgb)).all()
