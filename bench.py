@@ -1,0 +1,104 @@
+#!/usr/bin/env python
+"""Benchmark: rays/s/chip, forward+backward, 64+64 samples/ray (BASELINE.json
+north-star metric), on the flagship CodeNeRF model (256 hidden, 256 codes).
+
+Prints ONE JSON line:
+  {"metric": "rays_per_sec_per_chip_fwd_bwd_64+64", "value": N,
+   "unit": "rays/s", "vs_baseline": N}
+
+vs_baseline: the reference publishes no numbers (README.md:12 disclaimer,
+BASELINE.json "published": {}).  We use an estimated reference throughput of
+100k rays/s for the RTX 3080-class hardware its configs name (4096-ray chunks
+at ~25 steps/s fwd+bwd would be optimistic for the torch implementation at
+128 samples/ray with a 9-layer 256-wide MLP).  vs_baseline = value / 100_000.
+"""
+
+import json
+import time
+
+ESTIMATED_REFERENCE_RAYS_PER_SEC = 100_000.0
+
+
+def run_bench(num_rays: int = 8192, hidden: int = 256, code: int = 256,
+              num_coarse: int = 64, num_fine: int = 64, steps: int = 20,
+              compute_dtype: str = "bfloat16") -> dict:
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+
+    from codenerf_tpu.config.schema import (
+        Config, ModelsConfig, ModelSpec, EmbeddingSpec, NerfConfig,
+        PointSamplerConfig, OptimizerConfig, RuntimeConfig,
+    )
+    from codenerf_tpu.pipeline import RenderSettings, render_rays, init_model
+    from codenerf_tpu.models import init_code_tables, lookup_codes
+
+    cfg = Config(
+        models=ModelsConfig(
+            nerf_coarse=ModelSpec(type="CodeNeRFModel", hidden_size=hidden),
+            nerf_fine=ModelSpec(type="CodeNeRFModel", hidden_size=hidden),
+            embedding=EmbeddingSpec(shape_code_size=code,
+                                    texture_code_size=code),
+        ),
+        optimizer=OptimizerConfig(type="AdamW", lr=1e-4, embedding_lr=1e-3),
+        nerf=NerfConfig(point_sampler=PointSamplerConfig(
+            num_coarse=num_coarse, num_fine=num_fine,
+            near_limit=0.8, far_limit=1.8, spacing_mode="lindepth",
+            perturb=True)),
+        runtime=RuntimeConfig(compute_dtype=compute_dtype),
+    )
+    settings = RenderSettings.from_config(cfg)
+
+    kc, kf, kt = jax.random.split(jax.random.PRNGKey(0), 3)
+    params = {"coarse": init_model(kc, settings.coarse_cfg),
+              "fine": init_model(kf, settings.fine_cfg),
+              "codes": init_code_tables(kt, 2458, code, code)}
+    opt = optax.adamw(1e-4)
+    opt_state = opt.init(params)
+
+    rng = np.random.default_rng(0)
+    ro = jnp.asarray(rng.normal(size=(num_rays, 3)), jnp.float32)
+    rd = jnp.asarray(rng.normal(size=(num_rays, 3)), jnp.float32)
+    target = jnp.asarray(rng.uniform(size=(num_rays, 3)), jnp.float32)
+    ids = jnp.asarray(rng.integers(0, 2458, size=(num_rays,)), jnp.int32)
+
+    def loss_fn(p, key):
+        z_s, z_t = lookup_codes(p["codes"], ids)
+        out_c, out_f = render_rays(
+            {"coarse": p["coarse"], "fine": p["fine"]}, settings,
+            ro, rd, z_s, z_t, key, True)
+        loss_c = jnp.mean((out_c.rgb - target) ** 2)
+        loss_f = jnp.mean((out_f.rgb - target) ** 2)
+        return loss_c + loss_f
+
+    @jax.jit
+    def step(p, o, key):
+        k1, k2 = jax.random.split(key)
+        loss, grads = jax.value_and_grad(loss_fn)(p, k1)
+        updates, o = opt.update(grads, o, p)
+        return optax.apply_updates(p, updates), o, loss, k2
+
+    key = jax.random.PRNGKey(1)
+    # warmup + compile
+    params, opt_state, loss, key = step(params, opt_state, key)
+    jax.block_until_ready(loss)
+
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        params, opt_state, loss, key = step(params, opt_state, key)
+    jax.block_until_ready(loss)
+    dt = time.perf_counter() - t0
+
+    rays_per_sec = num_rays * steps / dt
+    return {
+        "metric": "rays_per_sec_per_chip_fwd_bwd_64+64",
+        "value": round(rays_per_sec, 1),
+        "unit": "rays/s",
+        "vs_baseline": round(rays_per_sec / ESTIMATED_REFERENCE_RAYS_PER_SEC,
+                             3),
+    }
+
+
+if __name__ == "__main__":
+    print(json.dumps(run_bench()))

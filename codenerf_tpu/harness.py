@@ -1,0 +1,153 @@
+"""Experiment harness: shared setup for the train/eval CLIs.
+
+Replaces the reference's per-entry-point setup blocks (train.py:19-58,
+eval.py:41-75) and utils (prepare_experiment/prepare_dataloader/...,
+util.py:44-144): one `Harness` object holds the config, datasets, camera
+grid, render settings and mesh; train/eval loops build on it.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass
+from pathlib import Path
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from codenerf_tpu.config.schema import Config
+from codenerf_tpu.config import dump_config
+from codenerf_tpu.core.geometry import pixel_directions, pose_spherical
+from codenerf_tpu.core.metrics import mse2psnr
+from codenerf_tpu.data import build_dataset, BatchIterator
+from codenerf_tpu.eval.render import make_image_renderer
+from codenerf_tpu.eval.tto import init_tto_state, make_tto_step
+from codenerf_tpu.parallel import make_mesh
+from codenerf_tpu.pipeline import RenderSettings
+from codenerf_tpu.utils.logging import MetricLogger, is_main_process
+
+
+@dataclass
+class Harness:
+    cfg: Config
+    settings: RenderSettings
+    mesh: object
+    train_dataset: object
+    val_dataset: object
+    train_iter: BatchIterator
+    val_iter: BatchIterator
+    height: int
+    width: int
+    directions: jax.Array
+    logdir: Path
+
+    @classmethod
+    def from_config(cfg_or_self, cfg: Config, make_devices_mesh: bool = True
+                    ) -> "Harness":
+        # experiment dir + resolved-config dump (reference util.py:44-56)
+        logdir = Path(cfg.experiment.logdir) / cfg.experiment.id
+        if is_main_process():
+            logdir.mkdir(parents=True, exist_ok=True)
+            dump_config(cfg, logdir / "config.yml")
+
+        train_ds = build_dataset(cfg.dataset, "train")
+        val_ds = build_dataset(cfg.dataset, "val")
+
+        # per-host distinct train stream, host-identical val stream
+        # (SURVEY §2.2: replaces per-rank seeding + broadcast_object_list)
+        seed = cfg.experiment.randomseed
+        train_iter = BatchIterator(train_ds, cfg.dataset.train_batch_size,
+                                   seed=seed + 1 + jax.process_index())
+        val_iter = BatchIterator(val_ds, cfg.dataset.val_batch_size, seed=seed)
+
+        # probe for geometry (reference train.py:51-55)
+        probe = val_ds[0] if len(val_ds) else train_ds[0]
+        height, width = probe["color"].shape[:2]
+        directions = pixel_directions(height, width,
+                                      jnp.asarray(probe["intrinsic"]))
+
+        mesh = make_mesh(cfg.runtime.num_devices) if make_devices_mesh else None
+        if mesh is not None and mesh.size == 1:
+            mesh = None
+
+        settings = RenderSettings.from_config(cfg)
+        return Harness(cfg=cfg, settings=settings, mesh=mesh,
+                       train_dataset=train_ds, val_dataset=val_ds,
+                       train_iter=train_iter, val_iter=val_iter,
+                       height=height, width=width, directions=directions,
+                       logdir=logdir)
+
+    @property
+    def has_codes(self) -> bool:
+        return self.settings.coarse_cfg.__class__.__name__ == "CodeNeRFConfig"
+
+
+def validate(harness: Harness, params: dict, logger: MetricLogger,
+             iteration: int, val_iterations: Optional[int] = None) -> dict:
+    """Validation pass (reference eval.py:82-205).
+
+    CodeNeRF: test-time optimization of codes+pose on a fixed val view, then
+    a full-image render + PSNR.  Vanilla NeRF: direct render at the GT pose.
+    Returns the final metric dict.
+    """
+    cfg = harness.cfg
+    # the reference always validates on the 6th val batch (eval.py:108-109)
+    val_data = harness.val_iter.fixed_batch(start=5)
+    target = jnp.asarray(val_data["color"][0])
+    pose_gt = jnp.asarray(val_data["pose"][0])
+
+    render = make_image_renderer(harness.settings, harness.height,
+                                 harness.width,
+                                 chunksize=cfg.nerf.validation.chunksize,
+                                 mesh=harness.mesh)
+    model_params = {"coarse": params["coarse"], "fine": params["fine"]}
+
+    if harness.has_codes:
+        tto, tto_opt = init_tto_state(params["codes"], cfg.optimizer)
+        tto_step = make_tto_step(harness.settings, tto_opt,
+                                 cfg.nerf.ray_sampler.num_random_rays,
+                                 cfg.experiment.regularizer_lambda,
+                                 cfg.nerf.point_sampler.perturb,
+                                 mesh=harness.mesh)
+        key = jax.random.PRNGKey(cfg.experiment.randomseed)
+        n_iters = (cfg.experiment.val_iterations if val_iterations is None
+                   else val_iterations)
+        then = time.time()
+        for vi in range(n_iters):
+            key, k = jax.random.split(key)
+            tto, m = tto_step(tto, params, harness.directions, target,
+                              pose_gt, k)
+            if is_main_process() and (
+                    (vi != 0 and vi % cfg.experiment.val_print_every == 0)
+                    or vi == n_iters - 1):
+                line = logger.log_scalars("val-optim", vi, {
+                    "nerf_loss_coarse": m.loss_coarse,
+                    "nerf_loss_fine": m.loss_fine,
+                    "embedding_loss": m.loss_embedding,
+                    "pose_error": m.pose_error,
+                    "total_loss": m.loss,
+                    "psnr": m.psnr}, time_taken=time.time() - then)
+                print(line)
+                then = time.time()
+        cam_pose = pose_spherical(tto.variables["theta"],
+                                  tto.variables["phi"], tto.variables["rho"])
+        rgb = render(model_params, harness.directions, cam_pose,
+                     tto.variables["z_s"], tto.variables["z_t"])
+    else:
+        rgb = render(model_params, harness.directions, pose_gt, None, None)
+
+    target_flat = target.reshape(-1, target.shape[-1])
+    mse = float(jnp.mean((rgb - target_flat[..., :3]) ** 2))
+    psnr = float(mse2psnr(jnp.asarray(mse)))
+    out = {"loss": mse, "psnr": psnr}
+    if is_main_process():
+        line = logger.log_scalars("val", iteration, out)
+        print(line)
+        img = np.clip(np.asarray(rgb).reshape(harness.height, harness.width, 3),
+                      0.0, 1.0)
+        logger.log_image("val/rgb_image", iteration, img)
+        logger.log_image("val/target_image", iteration,
+                         np.asarray(target)[..., :3])
+    return out

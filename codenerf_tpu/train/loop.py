@@ -1,0 +1,95 @@
+"""The training driver loop (reference train.py:19-142, TPU-native)."""
+
+from __future__ import annotations
+
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from codenerf_tpu.config.schema import Config
+from codenerf_tpu.harness import Harness, validate
+from codenerf_tpu.train.optim import lr_at_step
+from codenerf_tpu.train.state import init_train_state
+from codenerf_tpu.train.step import make_train_step
+from codenerf_tpu.train import checkpoint
+from codenerf_tpu.utils.logging import MetricLogger, is_main_process
+
+
+def run_training(cfg: Config, max_steps: Optional[int] = None,
+                 harness: Optional[Harness] = None) -> dict:
+    """Train per the config; returns the final metrics dict.
+
+    ``max_steps`` overrides the config-derived step count (for smoke runs).
+    """
+    harness = harness or Harness.from_config(cfg)
+    logger = MetricLogger(harness.logdir)
+
+    key = jax.random.PRNGKey(
+        cfg.experiment.randomseed + 1 + jax.process_index())
+    key, k_init = jax.random.split(key)
+    state, optimizer = init_train_state(k_init, cfg, harness.settings,
+                                        harness.train_dataset.num_objects)
+
+    ckpt_dir = harness.logdir / "checkpoints"
+    if cfg.runtime.load_checkpoint:
+        state = checkpoint.restore_checkpoint(cfg.runtime.load_checkpoint,
+                                              state)
+    elif checkpoint.latest_step(ckpt_dir) is not None:
+        state = checkpoint.restore_checkpoint(ckpt_dir, state)
+
+    train_step = make_train_step(
+        harness.settings, optimizer,
+        num_random_rays=cfg.nerf.ray_sampler.num_random_rays,
+        regularizer_lambda=cfg.experiment.regularizer_lambda,
+        perturb=cfg.nerf.point_sampler.perturb,
+        mesh=harness.mesh)
+
+    # One step here consumes a full image batch (the reference's chunk loop
+    # collapsed into a single SPMD program) -> the outer-iteration count is
+    # the reference's dataloader count (train.py:61-62).
+    total_steps = cfg.experiment.iterations // max(
+        1, cfg.dataset.train_batch_size)
+    if max_steps is not None:
+        total_steps = min(total_steps, int(jax.device_get(state.step)) +
+                          max_steps)
+
+    start_step = int(jax.device_get(state.step))
+    metrics_out = {}
+    then = time.time()
+    for step_idx in range(start_step, total_steps):
+        batch = next(harness.train_iter)
+        key, k = jax.random.split(key)
+        state, metrics = train_step(
+            state, harness.directions,
+            jnp.asarray(batch["pose"]), jnp.asarray(batch["color"]),
+            jnp.asarray(batch["object_id"]), k)
+
+        i = step_idx + 1
+        if is_main_process() and i % cfg.experiment.print_every == 0:
+            m = jax.device_get(metrics)
+            lr = lr_at_step(cfg.optimizer.lr, cfg.optimizer.scheduler_gamma,
+                            cfg.optimizer.scheduler_step_size, i)
+            line = logger.log_scalars("train", i, {
+                "nerf_loss_coarse": m.loss_coarse,
+                "nerf_loss_fine": m.loss_fine,
+                "embedding_loss": m.loss_embedding,
+                "total_loss": m.loss,
+                "psnr": m.psnr}, time_taken=time.time() - then,
+                learning_rate=lr)
+            print(line)
+            then = time.time()
+            metrics_out = {k_: float(v) for k_, v in m._asdict().items()}
+
+        if is_main_process() and (i % cfg.experiment.save_every == 0
+                                  or i == total_steps):
+            checkpoint.save_checkpoint(ckpt_dir, state)
+            print("================== Saved Checkpoint =================")
+
+        if i % cfg.experiment.validate_every == 0 and i < total_steps:
+            val_m = validate(harness, state.params, logger, i)
+            metrics_out.update({f"val_{k_}": v for k_, v in val_m.items()})
+
+    logger.close()
+    return metrics_out

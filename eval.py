@@ -1,0 +1,62 @@
+#!/usr/bin/env python
+"""Evaluate a trained CodeNeRF model via test-time optimization.
+
+TPU-native counterpart of the reference eval CLI (reference eval.py:245-266):
+optimizes shape/texture codes AND spherical camera pose for validation
+objects, then renders the full image and reports PSNR + pose error.
+
+    python eval.py -c config/srn-cars-code.yml --load-checkpoint LOGDIR/checkpoints
+"""
+
+import argparse
+import dataclasses
+
+
+def main():
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("-c", "--config", type=str, required=True,
+                        help="Path to (.yml) config file.")
+    parser.add_argument("--load-checkpoint", type=str, required=True,
+                        help="Orbax checkpoint directory (required, as in "
+                             "the reference eval.py:250-255).")
+    parser.add_argument("--rounds", type=int, default=None,
+                        help="Number of validation rounds (default: "
+                             "iterations // val_batch_size as the reference).")
+    parser.add_argument("--multihost", action="store_true")
+    parser.add_argument("--platform", type=str, default=None,
+                        help="Force a jax platform (e.g. cpu for smoke runs).")
+    parser.add_argument("overrides", nargs="*")
+    args = parser.parse_args()
+
+    import jax
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+    if args.multihost:
+        jax.distributed.initialize()
+    from codenerf_tpu.config import load_config
+    from codenerf_tpu.harness import Harness, validate
+    from codenerf_tpu.train.state import init_train_state
+    from codenerf_tpu.train import checkpoint
+    from codenerf_tpu.utils.logging import MetricLogger
+
+    cfg = load_config(args.config, overrides=args.overrides)
+    harness = Harness.from_config(cfg)
+    logger = MetricLogger(harness.logdir)
+
+    state, _ = init_train_state(jax.random.PRNGKey(cfg.experiment.randomseed),
+                                cfg, harness.settings,
+                                harness.train_dataset.num_objects)
+    state = checkpoint.restore_checkpoint(args.load_checkpoint, state)
+    print(f"Restored checkpoint at step {int(state.step)}")
+
+    rounds = args.rounds
+    if rounds is None:
+        rounds = max(1, cfg.experiment.iterations
+                     // max(1, cfg.dataset.val_batch_size))
+    for iteration in range(rounds):
+        validate(harness, state.params, logger, iteration)
+    logger.close()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,114 @@
+"""TTO (latent-code + pose recovery) and full-image rendering."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from codenerf_tpu.core.geometry import pixel_directions, pose_spherical
+from codenerf_tpu.eval import init_tto_state, make_tto_step, make_image_renderer
+from codenerf_tpu.models import init_code_tables
+from codenerf_tpu.parallel import make_mesh
+from codenerf_tpu.pipeline import RenderSettings, init_model
+from codenerf_tpu.train import init_train_state
+from tests.test_train import tiny_config
+
+
+def _setup(model_type="CodeNeRFModel"):
+    cfg = tiny_config(model_type)
+    settings = RenderSettings.from_config(cfg)
+    state, _ = init_train_state(jax.random.PRNGKey(0), cfg, settings,
+                                num_objects=3)
+    K = np.eye(4, dtype=np.float32)
+    K[0, 0] = K[1, 1] = 10.0
+    K[0, 2] = K[1, 2] = 4.0
+    dirs = pixel_directions(8, 8, jnp.asarray(K))
+    return cfg, settings, state, dirs
+
+
+class TestTTO:
+    def test_init_state_matches_reference_semantics(self):
+        cfg, settings, state, dirs = _setup()
+        tto, _ = init_tto_state(state.params["codes"], cfg.optimizer)
+        # codes = table means (eval.py:126-127)
+        np.testing.assert_allclose(
+            np.asarray(tto.variables["z_s"]),
+            np.asarray(state.params["codes"]["shape"]).mean(0, keepdims=True),
+            rtol=1e-6)
+        # pose init (eval.py:129-131)
+        assert float(tto.variables["theta"][0]) == pytest.approx(1.57)
+        assert float(tto.variables["phi"][0]) == pytest.approx(0.0)
+        assert float(tto.variables["rho"][0]) == pytest.approx(1.30)
+
+    def test_tto_optimizes_codes_and_pose(self):
+        cfg, settings, state, dirs = _setup()
+        tto, optimizer = init_tto_state(state.params["codes"], cfg.optimizer)
+        step = make_tto_step(settings, optimizer, num_random_rays=32,
+                             regularizer_lambda=1e-5, perturb=True)
+
+        pose_gt = pose_spherical(1.8, 0.3, 1.5)
+        target = jnp.full((8, 8, 3), 0.4)
+        key = jax.random.PRNGKey(1)
+        theta0 = float(tto.variables["theta"][0])
+        losses, perrs = [], []
+        for i in range(20):
+            key, k = jax.random.split(key)
+            tto, m = step(tto, state.params, dirs, target, pose_gt, k)
+            losses.append(float(m.loss))
+            perrs.append(float(m.pose_error))
+        # all variable groups moved
+        assert float(tto.variables["theta"][0]) != theta0
+        assert losses[-1] < losses[0]
+        assert np.isfinite(perrs).all()
+        # model weights were never touched
+        assert int(tto.step) == 20
+
+
+class TestImageRenderer:
+    def test_render_shapes_and_finite(self):
+        cfg, settings, state, dirs = _setup()
+        render = make_image_renderer(settings, 8, 8, chunksize=16)
+        z_s = jnp.zeros((1, 16))
+        z_t = jnp.zeros((1, 16))
+        pose = pose_spherical(1.57, 0.0, 1.3)
+        rgb = render({"coarse": state.params["coarse"],
+                      "fine": state.params["fine"]}, dirs, pose, z_s, z_t)
+        assert rgb.shape == (64, 3)
+        assert np.isfinite(np.asarray(rgb)).all()
+
+    def test_chunking_invariant(self):
+        """Chunk size must not change the rendered image."""
+        cfg, settings, state, dirs = _setup()
+        params = {"coarse": state.params["coarse"],
+                  "fine": state.params["fine"]}
+        z = jnp.zeros((1, 16))
+        pose = pose_spherical(1.6, 0.1, 1.4)
+        r1 = make_image_renderer(settings, 8, 8, chunksize=16)(
+            params, dirs, pose, z, z)
+        r2 = make_image_renderer(settings, 8, 8, chunksize=64)(
+            params, dirs, pose, z, z)
+        np.testing.assert_allclose(np.asarray(r1), np.asarray(r2),
+                                   rtol=1e-5, atol=1e-6)
+
+    def test_meshed_render_matches_single(self):
+        cfg, settings, state, dirs = _setup()
+        params = {"coarse": state.params["coarse"],
+                  "fine": state.params["fine"]}
+        z = jnp.zeros((1, 16))
+        pose = pose_spherical(1.6, 0.1, 1.4)
+        mesh = make_mesh()
+        r1 = make_image_renderer(settings, 8, 8, chunksize=64)(
+            params, dirs, pose, z, z)
+        r2 = make_image_renderer(settings, 8, 8, chunksize=64, mesh=mesh)(
+            params, dirs, pose, z, z)
+        np.testing.assert_allclose(np.asarray(r1), np.asarray(r2),
+                                   rtol=1e-5, atol=1e-6)
+
+    def test_vanilla_render_without_codes(self):
+        cfg, settings, state, dirs = _setup("FlexibleNeRFModel")
+        render = make_image_renderer(settings, 8, 8, chunksize=32)
+        rgb = render({"coarse": state.params["coarse"],
+                      "fine": state.params["fine"]}, dirs,
+                     pose_spherical(1.57, 0.0, 1.3), None, None)
+        assert rgb.shape == (64, 3)
+        assert np.isfinite(np.asarray(rgb)).all()

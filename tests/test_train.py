@@ -1,0 +1,180 @@
+"""Training subsystem: optimizer semantics, train step convergence,
+checkpoint round-trip, mesh sharding."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from codenerf_tpu.config.schema import (
+    Config, ModelsConfig, ModelSpec, EmbeddingSpec, NerfConfig,
+    PointSamplerConfig, RaySamplerConfig, OptimizerConfig, ExperimentConfig,
+    RuntimeConfig,
+)
+from codenerf_tpu.core.geometry import pixel_directions, pose_spherical
+from codenerf_tpu.parallel import make_mesh
+from codenerf_tpu.pipeline import RenderSettings
+from codenerf_tpu.train import (
+    build_optimizer, lr_at_step, init_train_state, make_train_step, checkpoint,
+)
+
+
+def tiny_config(model_type="CodeNeRFModel", **opt_kw):
+    opt_type = opt_kw.pop("type", "Adam")
+    return Config(
+        experiment=ExperimentConfig(regularizer_lambda=1e-5),
+        models=ModelsConfig(
+            nerf_coarse=ModelSpec(type=model_type, hidden_size=32,
+                                  num_layers=4),
+            nerf_fine=ModelSpec(type=model_type, hidden_size=32, num_layers=4),
+            embedding=EmbeddingSpec(shape_code_size=16, texture_code_size=16),
+        ),
+        optimizer=OptimizerConfig(type=opt_type, lr=5e-3, embedding_lr=1e-2,
+                                  scheduler_gamma=0.1,
+                                  scheduler_step_size=500000, **opt_kw),
+        nerf=NerfConfig(
+            ray_sampler=RaySamplerConfig(num_random_rays=32),
+            point_sampler=PointSamplerConfig(num_coarse=8, num_fine=8,
+                                             near_limit=0.8, far_limit=1.8),
+        ),
+        runtime=RuntimeConfig(compute_dtype="float32"),
+    )
+
+
+def make_batch(B=2, H=8, W=8, C=3, seed=0):
+    rng = np.random.default_rng(seed)
+    K = np.eye(4, dtype=np.float32)
+    K[0, 0] = K[1, 1] = 10.0
+    K[0, 2] = K[1, 2] = 4.0
+    dirs = pixel_directions(H, W, jnp.asarray(K))
+    poses = np.stack([np.asarray(pose_spherical(1.57 + 0.1 * b, 0.05 * b, 1.3))
+                      for b in range(B)])
+    pixels = rng.uniform(size=(B, H, W, C)).astype(np.float32)
+    ids = np.arange(B, dtype=np.int32)
+    return dirs, jnp.asarray(poses), jnp.asarray(pixels), jnp.asarray(ids)
+
+
+class TestOptimizer:
+    def test_lr_schedule_continuous_exponential(self):
+        # reference util.py:166-170: gamma ** (step / step_size)
+        assert lr_at_step(1e-3, 0.1, 1000, 0) == pytest.approx(1e-3)
+        assert lr_at_step(1e-3, 0.1, 1000, 1000) == pytest.approx(1e-4)
+        assert lr_at_step(1e-3, 0.1, 1000, 500) == pytest.approx(
+            1e-3 * 0.1 ** 0.5)
+
+    def test_param_group_lrs(self):
+        """codes update with embedding_lr, models with lr (util.py:159-164)."""
+        import optax
+        cfg = tiny_config().optimizer
+        opt = build_optimizer(cfg, has_codes=True)
+        params = {"coarse": jnp.zeros(3), "fine": jnp.zeros(3),
+                  "codes": jnp.zeros(3)}
+        grads = jax.tree.map(jnp.ones_like, params)
+        state = opt.init(params)
+        updates, _ = opt.update(grads, state, params)
+        # SGD-free check via Adam first-step magnitude: |update| = lr
+        np.testing.assert_allclose(np.abs(updates["coarse"]), 5e-3, rtol=1e-3)
+        np.testing.assert_allclose(np.abs(updates["codes"]), 1e-2, rtol=1e-3)
+
+    def test_unknown_type_raises(self):
+        with pytest.raises(ValueError):
+            build_optimizer(tiny_config(type="Bogus").optimizer)
+
+
+class TestTrainStep:
+    def test_loss_decreases_codenerf(self):
+        cfg = tiny_config()
+        settings = RenderSettings.from_config(cfg)
+        key = jax.random.PRNGKey(0)
+        state, optimizer = init_train_state(key, cfg, settings, num_objects=2)
+        step = make_train_step(settings, optimizer,
+                               num_random_rays=32,
+                               regularizer_lambda=1e-5, perturb=True)
+        dirs, poses, pixels, ids = make_batch()
+        losses = []
+        for i in range(30):
+            key, k = jax.random.split(key)
+            state, m = step(state, dirs, poses, pixels, ids, k)
+            losses.append(float(m.loss))
+        assert int(state.step) == 30
+        assert losses[-1] < losses[0]
+        assert np.isfinite(losses).all()
+
+    def test_vanilla_nerf_train_step(self):
+        cfg = tiny_config(model_type="FlexibleNeRFModel")
+        settings = RenderSettings.from_config(cfg)
+        key = jax.random.PRNGKey(1)
+        state, optimizer = init_train_state(key, cfg, settings, num_objects=1)
+        assert "codes" not in state.params
+        step = make_train_step(settings, optimizer, num_random_rays=32,
+                               regularizer_lambda=0.0, perturb=True)
+        dirs, poses, pixels, ids = make_batch(seed=1)
+        for i in range(5):
+            key, k = jax.random.split(key)
+            state, m = step(state, dirs, poses, pixels, ids, k)
+        assert np.isfinite(float(m.loss))
+        assert float(m.loss_embedding) == 0.0
+
+    def test_sharded_matches_unsharded(self):
+        """Grad math must be identical on a 1-device vs 8-device mesh."""
+        cfg = tiny_config()
+        settings = RenderSettings.from_config(cfg)
+        key = jax.random.PRNGKey(2)
+        state0, optimizer = init_train_state(key, cfg, settings, num_objects=2)
+        dirs, poses, pixels, ids = make_batch(seed=2)
+
+        mesh = make_mesh()  # all 8 CPU devices
+        assert mesh.size == 8
+        step_single = make_train_step(settings, optimizer, 32, 1e-5, True,
+                                      mesh=None)
+        step_mesh = make_train_step(settings, optimizer, 32, 1e-5, True,
+                                    mesh=mesh)
+        k = jax.random.PRNGKey(3)
+        state1, m1 = step_single(state0, dirs, poses, pixels, ids, k)
+        # re-init (state donated)
+        state0b, _ = init_train_state(key, cfg, settings, num_objects=2)
+        state2, m2 = step_mesh(state0b, dirs, poses, pixels, ids, k)
+        assert float(m1.loss) == pytest.approx(float(m2.loss), rel=1e-5)
+        l1 = jax.tree.leaves(state1.params)
+        l2 = jax.tree.leaves(state2.params)
+        # tolerance: cross-device psum reduction order differs from the
+        # single-device sum; Adam's normalization amplifies the few-ulp noise
+        for a, b in zip(l1, l2):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-3, atol=1e-5)
+
+
+class TestCheckpoint:
+    def test_roundtrip_preserves_step_and_params(self, tmp_path):
+        cfg = tiny_config()
+        settings = RenderSettings.from_config(cfg)
+        key = jax.random.PRNGKey(4)
+        state, optimizer = init_train_state(key, cfg, settings, num_objects=2)
+        step = make_train_step(settings, optimizer, 32, 1e-5, True)
+        dirs, poses, pixels, ids = make_batch(seed=3)
+        for i in range(3):
+            key, k = jax.random.split(key)
+            state, _ = step(state, dirs, poses, pixels, ids, k)
+
+        ckdir = tmp_path / "ckpt"
+        checkpoint.save_checkpoint(ckdir, state)
+        assert checkpoint.latest_step(ckdir) == 3
+
+        fresh, _ = init_train_state(jax.random.PRNGKey(99), cfg, settings,
+                                    num_objects=2)
+        restored = checkpoint.restore_checkpoint(ckdir, fresh)
+        assert int(restored.step) == 3
+        for a, b in zip(jax.tree.leaves(restored.params),
+                        jax.tree.leaves(state.params)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        # training continues from the restored state
+        key, k = jax.random.split(key)
+        restored, m = step(restored, dirs, poses, pixels, ids, k)
+        assert int(restored.step) == 4
+
+    def test_missing_checkpoint_raises(self, tmp_path):
+        cfg = tiny_config()
+        settings = RenderSettings.from_config(cfg)
+        state, _ = init_train_state(jax.random.PRNGKey(0), cfg, settings, 2)
+        with pytest.raises(FileNotFoundError):
+            checkpoint.restore_checkpoint(tmp_path / "nope", state)
