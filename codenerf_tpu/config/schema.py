@@ -162,6 +162,15 @@ class RuntimeConfig:
     compute_dtype: str = "bfloat16"
     # use the fused Pallas ray-march kernel where available
     use_pallas: bool = True
+    # rematerialize MLP activations in the backward pass (HBM-bound win:
+    # the per-sample activation stack is ~9 x [R*S, hidden] otherwise)
+    remat: bool = True
+    # when set, capture a jax.profiler trace of a few steady-state train
+    # steps into this directory (view with tensorboard / xprof)
+    profile_dir: str = ""
+    # wrap the train step in jax.experimental.checkify NaN/div guards
+    # (debugging aid; costs performance)
+    checkify: bool = False
 
 
 @dataclass(frozen=True)

@@ -69,6 +69,12 @@ class BatchIterator:
 
     def __next__(self) -> dict:
         idx = self.rng.integers(0, len(self.dataset), size=self.batch_size)
+        return self._load(idx)
+
+    def _load(self, idx) -> dict:
+        # batched native pipeline when the dataset provides one
+        if hasattr(self.dataset, "load_views"):
+            return self.dataset.load_views(idx)
         return _stack([self.dataset[int(i)] for i in idx])
 
     def fixed_batch(self, start: int = 0) -> dict:
@@ -77,4 +83,4 @@ class BatchIterator:
         n = len(self.dataset)
         idx = [(start * self.batch_size + i) % n
                for i in range(self.batch_size)]
-        return _stack([self.dataset[i] for i in idx])
+        return self._load(idx)

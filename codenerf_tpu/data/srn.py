@@ -21,7 +21,8 @@ import imageio.v2 as imageio
 
 
 class SRNDataset:
-    def __init__(self, path: str, stage: str = "train"):
+    def __init__(self, path: str, stage: str = "train",
+                 use_native: bool = True):
         self.base_path = Path(path)
         self.dataset_name = self.base_path.stem.split("_")[-1]
         self.base_path = self.base_path / f"{self.dataset_name}_{stage}"
@@ -46,6 +47,51 @@ class SRNDataset:
         assert len(self.rgb_files) == len(self.pose_files)
         self.num_views = (len(self.rgb_files) // self.num_objects
                           if self.num_objects else 0)
+        self.use_native = use_native
+
+    def _read_intrinsics(self, object_index: int):
+        with open(self.intrinsic_files[object_index]) as f:
+            lines = f.readlines()
+            focal, cx, cy, _ = map(float, lines[0].split())
+            height, width = map(int, lines[-1].split())
+        return focal, cx, cy, height, width
+
+    def _meta_for(self, index: int):
+        """(object_id, intrinsic, pose) — everything except pixels."""
+        object_index, _ = self.rgb_files[index]
+        _, pose_filename = self.pose_files[index]
+        focal, cx, cy, height, width = self._read_intrinsics(object_index)
+        ch, cw = height // 8, width // 8
+        pose = np.loadtxt(pose_filename).reshape(4, 4)
+        pose = pose @ np.diag([1.0, -1.0, -1.0, 1.0])
+        intrinsic = np.eye(4)
+        intrinsic[0, 0] = intrinsic[1, 1] = focal
+        intrinsic[0, 2], intrinsic[1, 2] = cx - cw, cy - ch
+        return (np.int32(object_index), intrinsic.astype(np.float32),
+                pose.astype(np.float32), height, width)
+
+    def load_views(self, indices, num_threads: int = 8) -> dict:
+        """Batched load via the native (C++/libpng) pipeline when available,
+        falling back to the per-item Python path."""
+        from codenerf_tpu.data import native
+        metas = [self._meta_for(int(i)) for i in indices]
+        if self.use_native and native.available() and metas:
+            height, width = metas[0][3], metas[0][4]
+            probe = native.probe(self.rgb_files[int(indices[0])][1])
+            if probe is not None and probe[:2] == (height, width):
+                channels = probe[2]
+                paths = [self.rgb_files[int(i)][1] for i in indices]
+                colors, masks = native.load_batch(paths, height, width,
+                                                 channels, num_threads)
+                return {
+                    "object_id": np.stack([m[0] for m in metas]),
+                    "intrinsic": np.stack([m[1] for m in metas]),
+                    "color": colors,
+                    "mask": masks,
+                    "pose": np.stack([m[2] for m in metas]),
+                }
+        samples = [self[int(i)] for i in indices]
+        return {k: np.stack([s[k] for s in samples]) for k in samples[0]}
 
     def __len__(self):
         return len(self.rgb_files)

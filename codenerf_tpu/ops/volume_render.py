@@ -40,7 +40,8 @@ class RenderOutputs(NamedTuple):
 
 
 def volume_render(radiance_field: jax.Array, depth_values: jax.Array,
-                  ray_directions: jax.Array) -> RenderOutputs:
+                  ray_directions: jax.Array,
+                  white_background: bool = False) -> RenderOutputs:
     """Composite per-sample radiance into per-ray color.
 
     Args:
@@ -48,6 +49,11 @@ def volume_render(radiance_field: jax.Array, depth_values: jax.Array,
       depth_values:   [R, S] z values along each ray.
       ray_directions: [R, 3] (unnormalized) ray directions; their norm scales
                       z-spacing into metric distance (volumetric_render.py:45).
+      white_background: blend unaccumulated transmittance to white
+                      (rgb + (1 - acc)).  The reference declares
+                      ``nerf.white_background`` in its configs but never
+                      consumes it (SURVEY §3.5); this implements the evident
+                      intent, default off to match reference behavior.
     """
     dists = depth_values[..., 1:] - depth_values[..., :-1]
     dists = jnp.concatenate(
@@ -72,5 +78,7 @@ def volume_render(radiance_field: jax.Array, depth_values: jax.Array,
     depth_map = jnp.sum(weights * depth_values, axis=-1)
     acc_map = jnp.sum(weights, axis=-1)
     disp_map = 1.0 / jnp.maximum(1e-10, depth_map / acc_map)
+    if white_background:
+        rgb_map = rgb_map + (1.0 - acc_map[..., None])
 
     return RenderOutputs(rgb_map, disp_map, acc_map, weights, depth_map)

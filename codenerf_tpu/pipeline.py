@@ -87,6 +87,9 @@ class RenderSettings:
     log_sampling_dir: bool
     coarse_cfg: Any
     fine_cfg: Any
+    white_background: bool = False
+    remat: bool = True
+    use_pallas: bool = True
 
     @staticmethod
     def from_config(cfg: Config, compute_dtype: Optional[str] = None
@@ -113,41 +116,71 @@ class RenderSettings:
             log_sampling_dir=emb.log_sampling_dir,
             coarse_cfg=mk(cfg.models.nerf_coarse),
             fine_cfg=mk(cfg.models.nerf_fine),
+            white_background=cfg.nerf.white_background,
+            remat=cfg.runtime.remat,
+            use_pallas=cfg.runtime.use_pallas,
         )
 
 
-def encode_inputs(settings: RenderSettings, pts: jax.Array, rd: jax.Array
-                  ) -> jax.Array:
-    """Positional-encode sample points (+ viewdirs) into the MLP input.
+def encode_inputs(settings: RenderSettings, pts: jax.Array, rd: jax.Array):
+    """Positional-encode sample points and (per-ray) view directions.
 
-    pts: [R, S, 3]; rd: [R, 3].  Returns [R, S, dim_xyz + dim_dir]
-    (reference nerf/__init__.py:117-130, kept [R, S, .] instead of flattened).
+    pts: [R, S, 3]; rd: [R, 3].  Returns (xyz_enc [R, S, dim_xyz],
+    dir_enc [R, dim_dir] | None) — the view encoding stays per-ray; the
+    ray-structured MLP applies broadcast it inside the matmul factoring
+    instead of materializing [R, S, dim_dir]
+    (cf. reference nerf/__init__.py:117-130, which expands everything).
     """
     enc = positional_encoding(pts, settings.num_encoding_fn_xyz,
                               settings.include_input_xyz,
                               settings.log_sampling_xyz)
+    enc_dir = None
     if settings.use_viewdirs:
         viewdirs = rd / jnp.linalg.norm(rd, axis=-1, keepdims=True)
         enc_dir = positional_encoding(viewdirs, settings.num_encoding_fn_dir,
                                       settings.include_input_dir,
                                       settings.log_sampling_dir)
-        enc_dir = jnp.broadcast_to(enc_dir[..., None, :],
-                                   pts.shape[:-1] + (enc_dir.shape[-1],))
-        enc = jnp.concatenate([enc, enc_dir], axis=-1)
-    return enc
+    return enc, enc_dir
+
+
+import functools
+
+
+@functools.lru_cache(maxsize=32)
+def _get_fused(model_cfg, num_freq, include_input, log_sampling):
+    from codenerf_tpu.ops.fused import make_fused_codenerf
+    return make_fused_codenerf(model_cfg, num_freq, include_input,
+                               log_sampling)
+
+
+def _pallas_active(settings, model_cfg) -> bool:
+    return (settings.use_pallas and isinstance(model_cfg, CodeNeRFConfig)
+            and settings.use_viewdirs and jax.default_backend() == "tpu")
 
 
 def _forward(params, model_cfg, settings, pts, rd, z_s, z_t):
     """encode -> MLP over [R, S] samples (reference forward_pass,
-    nerf/__init__.py:94-134)."""
-    x = encode_inputs(settings, pts, rd)
-    num_samples = pts.shape[-2]
-    if z_s is not None:
-        z_s = jnp.broadcast_to(z_s[..., None, :],
-                               pts.shape[:-1] + (z_s.shape[-1],))
-        z_t = jnp.broadcast_to(z_t[..., None, :],
-                               pts.shape[:-1] + (z_t.shape[-1],))
-    return apply_model(params, model_cfg, x, z_s, z_t)
+    nerf/__init__.py:94-134).
+
+    CodeNeRF on TPU uses the Pallas fused trunk (encode + MLP in VMEM);
+    everything else uses the XLA ray-structured fast path.
+    """
+    from codenerf_tpu.models.ray_structured import (
+        apply_codenerf_rays, apply_flexible_rays)
+    if _pallas_active(settings, model_cfg):
+        viewdirs = rd / jnp.linalg.norm(rd, axis=-1, keepdims=True)
+        dir_enc = positional_encoding(viewdirs, settings.num_encoding_fn_dir,
+                                      settings.include_input_dir,
+                                      settings.log_sampling_dir)
+        fused = _get_fused(model_cfg, settings.num_encoding_fn_xyz,
+                           settings.include_input_xyz,
+                           settings.log_sampling_xyz)
+        return fused(params, pts, dir_enc, z_s, z_t)
+    xyz_enc, dir_enc = encode_inputs(settings, pts, rd)
+    if isinstance(model_cfg, CodeNeRFConfig):
+        return apply_codenerf_rays(params, model_cfg, xyz_enc, dir_enc,
+                                   z_s, z_t)
+    return apply_flexible_rays(params, model_cfg, xyz_enc, dir_enc)
 
 
 def render_rays(params: dict, settings: RenderSettings, ro: jax.Array,
@@ -173,17 +206,33 @@ def render_rays(params: dict, settings: RenderSettings, ro: jax.Array,
     else:
         k1 = k2 = None
 
+    def fwd_c(p, pts, rd_, zs_, zt_):
+        return _forward(p, settings.coarse_cfg, settings, pts, rd_, zs_, zt_)
+
+    def fwd_f(p, pts, rd_, zs_, zt_):
+        return _forward(p, settings.fine_cfg, settings, pts, rd_, zs_, zt_)
+
+    if settings.remat and not _pallas_active(settings, settings.coarse_cfg):
+        # Recompute the encode->MLP chain in the backward pass instead of
+        # storing ~9 x [R*S, hidden] activations in HBM (jax.checkpoint:
+        # the HBM-bandwidth / capacity trade SURVEY §7 calls for).
+        # Skipped when the Pallas fused trunk is active — its custom VJP
+        # already rematerializes, and wrapping a custom_vjp in
+        # jax.checkpoint would recompute the forward twice in the backward.
+        fwd_c = jax.checkpoint(fwd_c)
+        fwd_f = jax.checkpoint(fwd_f)
+
     z_grid = base_z_vals(settings.num_coarse, settings.near, settings.far,
                          settings.spacing_mode, dtype=ro.dtype)
     pts_c, z_c = sample_stratified(k1, ro, rd, z_grid, perturb)
-    raw_c = _forward(params["coarse"], settings.coarse_cfg, settings,
-                     pts_c, rd, z_s, z_t)
-    out_c = volume_render(raw_c, z_c, rd)
+    raw_c = fwd_c(params["coarse"], pts_c, rd, z_s, z_t)
+    out_c = volume_render(raw_c, z_c, rd,
+                          white_background=settings.white_background)
 
     # Interior-weight slice per reference nerf/__init__.py:87.
     pts_f, z_f = sample_pdf(k2, ro, rd, out_c.weights[..., 1:-1], z_c,
                             settings.num_fine, perturb)
-    raw_f = _forward(params["fine"], settings.fine_cfg, settings,
-                     pts_f, rd, z_s, z_t)
-    out_f = volume_render(raw_f, z_f, rd)
+    raw_f = fwd_f(params["fine"], pts_f, rd, z_s, z_t)
+    out_f = volume_render(raw_f, z_f, rd,
+                          white_background=settings.white_background)
     return out_c, out_f

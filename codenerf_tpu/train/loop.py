@@ -44,7 +44,8 @@ def run_training(cfg: Config, max_steps: Optional[int] = None,
         num_random_rays=cfg.nerf.ray_sampler.num_random_rays,
         regularizer_lambda=cfg.experiment.regularizer_lambda,
         perturb=cfg.nerf.point_sampler.perturb,
-        mesh=harness.mesh)
+        mesh=harness.mesh,
+        use_checkify=cfg.runtime.checkify)
 
     # One step here consumes a full image batch (the reference's chunk loop
     # collapsed into a single SPMD program) -> the outer-iteration count is
@@ -57,8 +58,20 @@ def run_training(cfg: Config, max_steps: Optional[int] = None,
 
     start_step = int(jax.device_get(state.step))
     metrics_out = {}
+    rays_per_step = (cfg.nerf.ray_sampler.num_random_rays
+                     * cfg.dataset.train_batch_size)
+    # steady-state profiler window (SURVEY §5: replaces the reference's
+    # bare wall-clock deltas with a real trace)
+    prof_start = start_step + 5 if cfg.runtime.profile_dir else -1
+    prof_stop = prof_start + 5
     then = time.time()
     for step_idx in range(start_step, total_steps):
+        if step_idx == prof_start:
+            jax.profiler.start_trace(cfg.runtime.profile_dir)
+        elif step_idx == prof_stop and prof_start >= 0:
+            jax.block_until_ready(state.params)
+            jax.profiler.stop_trace()
+            print(f"profiler trace written to {cfg.runtime.profile_dir}")
         batch = next(harness.train_iter)
         key, k = jax.random.split(key)
         state, metrics = train_step(
@@ -69,6 +82,7 @@ def run_training(cfg: Config, max_steps: Optional[int] = None,
         i = step_idx + 1
         if is_main_process() and i % cfg.experiment.print_every == 0:
             m = jax.device_get(metrics)
+            dt = time.time() - then
             lr = lr_at_step(cfg.optimizer.lr, cfg.optimizer.scheduler_gamma,
                             cfg.optimizer.scheduler_step_size, i)
             line = logger.log_scalars("train", i, {
@@ -76,7 +90,9 @@ def run_training(cfg: Config, max_steps: Optional[int] = None,
                 "nerf_loss_fine": m.loss_fine,
                 "embedding_loss": m.loss_embedding,
                 "total_loss": m.loss,
-                "psnr": m.psnr}, time_taken=time.time() - then,
+                "psnr": m.psnr,
+                "rays_per_sec": rays_per_step * cfg.experiment.print_every
+                / max(dt, 1e-9)}, time_taken=dt,
                 learning_rate=lr)
             print(line)
             then = time.time()

@@ -69,13 +69,16 @@ def gather_ray_batch(directions: jax.Array, pose: jax.Array,
 
 def make_train_step(settings: RenderSettings, optimizer, num_random_rays: int,
                     regularizer_lambda: float, perturb: bool,
-                    mesh=None) -> Callable:
+                    mesh=None, use_checkify: bool = False) -> Callable:
     """Build the jitted train step.
 
     Returned signature:
       train_step(state, directions, pose, pixels, object_ids, key)
         -> (new_state, StepMetrics)
-    with ``state`` donated.
+    with ``state`` donated.  With ``use_checkify`` the step additionally
+    carries NaN/inf guards (jax.experimental.checkify float checks — the
+    TPU-native stand-in for torch's set_detect_anomaly, SURVEY §5) and
+    raises host-side on the first bad value.
     """
     has_codes = settings.coarse_cfg.__class__.__name__ == "CodeNeRFConfig"
 
@@ -118,5 +121,19 @@ def make_train_step(settings: RenderSettings, optimizer, num_random_rays: int,
                               loss_fine=loss_f, loss_embedding=loss_e,
                               psnr=mse2psnr(loss_f))
         return TrainState(params, opt_state, state.step + 1), metrics
+
+    if use_checkify:
+        from jax.experimental import checkify
+
+        checked = jax.jit(
+            checkify.checkify(train_step, errors=checkify.float_checks))
+
+        def guarded(state, directions, pose, pixels, object_ids, key):
+            err, out = checked(state, directions, pose, pixels, object_ids,
+                               key)
+            err.throw()
+            return out
+
+        return guarded
 
     return jax.jit(train_step, donate_argnums=(0,))

@@ -163,3 +163,28 @@ class TestBatchIterator:
         f1 = it.fixed_batch(start=5)
         f2 = it.fixed_batch(start=5)
         np.testing.assert_array_equal(f1["color"], f2["color"])
+
+
+class TestNativeLoader:
+    def test_native_matches_python_path(self, srn_root):
+        from codenerf_tpu.data import native
+        if not native.available():
+            import pytest as _pytest
+            _pytest.skip("native loader not built")
+        ds_py = SRNDataset(str(srn_root), "train", use_native=False)
+        ds_nat = SRNDataset(str(srn_root), "train", use_native=True)
+        idx = [0, 2, 5]
+        b_py = ds_py.load_views(idx)
+        b_nat = ds_nat.load_views(idx)
+        for k in ["color", "mask", "pose", "intrinsic", "object_id"]:
+            np.testing.assert_allclose(b_nat[k], b_py[k], atol=1e-6,
+                                       err_msg=k)
+
+    def test_probe(self, srn_root):
+        from codenerf_tpu.data import native
+        if not native.available():
+            import pytest as _pytest
+            _pytest.skip("native loader not built")
+        ds = SRNDataset(str(srn_root), "train")
+        h, w, c = native.probe(ds.rgb_files[0][1])
+        assert (h, w, c) == (16, 16, 3)

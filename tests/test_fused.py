@@ -1,0 +1,89 @@
+"""Pallas fused CodeNeRF trunk vs the XLA reference path (interpret mode on
+CPU; the same kernel runs compiled on TPU)."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from codenerf_tpu.models import CodeNeRFConfig, init_codenerf
+from codenerf_tpu.ops import fused as fused_mod
+from codenerf_tpu.ops.fused import make_fused_codenerf
+
+
+@pytest.fixture(autouse=True)
+def _interpret_pallas(monkeypatch):
+    """Run pallas_call in interpreter mode on CPU."""
+    import jax.experimental.pallas as pl
+    orig = pl.pallas_call
+
+    def interp(*args, **kwargs):
+        kwargs.setdefault("interpret", True)
+        return orig(*args, **kwargs)
+
+    monkeypatch.setattr(fused_mod.pl, "pallas_call", interp)
+
+
+def _inputs(cfg, R=8, S=16, seed=0):
+    rng = np.random.default_rng(seed)
+    pts = jnp.asarray(rng.uniform(-1, 1, size=(R, S, 3)), jnp.float32)
+    dir_enc = jnp.asarray(rng.normal(size=(R, cfg.dim_dir)), jnp.float32)
+    z_s = jnp.asarray(rng.normal(size=(R, cfg.shape_code_size)), jnp.float32)
+    z_t = jnp.asarray(rng.normal(size=(R, cfg.texture_code_size)), jnp.float32)
+    return pts, dir_enc, z_s, z_t
+
+
+class TestFusedTrunk:
+    @pytest.mark.parametrize("include_input", [True, False])
+    def test_matches_xla_reference(self, include_input):
+        cfg = CodeNeRFConfig(hidden_size=64, shape_code_size=32,
+                             texture_code_size=32, num_encoding_fn_xyz=10,
+                             num_encoding_fn_dir=4,
+                             include_input_xyz=include_input)
+        params = init_codenerf(jax.random.PRNGKey(0), cfg)
+        fused = make_fused_codenerf(cfg, 10, include_input, True,
+                                    tile_rows=64)
+        pts, dir_enc, z_s, z_t = _inputs(cfg)
+        got = fused(params, pts, dir_enc, z_s, z_t)
+        want = fused.xla_reference(params, pts, dir_enc, z_s, z_t)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-4, atol=1e-4)
+
+    def test_odd_ray_count_tiles(self):
+        """R not divisible by the preferred tile -> T falls back to a
+        divisor."""
+        cfg = CodeNeRFConfig(hidden_size=32, shape_code_size=16,
+                             texture_code_size=16, num_encoding_fn_xyz=6)
+        params = init_codenerf(jax.random.PRNGKey(1), cfg)
+        fused = make_fused_codenerf(cfg, 6, True, True, tile_rows=64)
+        pts, dir_enc, z_s, z_t = _inputs(cfg, R=7, S=8, seed=1)
+        got = fused(params, pts, dir_enc, z_s, z_t)
+        want = fused.xla_reference(params, pts, dir_enc, z_s, z_t)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-4, atol=1e-4)
+
+    def test_gradients_flow_through_vjp(self):
+        cfg = CodeNeRFConfig(hidden_size=32, shape_code_size=16,
+                             texture_code_size=16, num_encoding_fn_xyz=6,
+                             num_encoding_fn_dir=4)
+        params = init_codenerf(jax.random.PRNGKey(2), cfg)
+        fused = make_fused_codenerf(cfg, 6, True, True, tile_rows=64)
+        pts, dir_enc, z_s, z_t = _inputs(cfg, R=4, S=8, seed=2)
+
+        def loss_fused(p, zs, pt):
+            return jnp.sum(fused(p, pt, dir_enc, zs, z_t) ** 2)
+
+        def loss_ref(p, zs, pt):
+            return jnp.sum(fused.xla_reference(p, pt, dir_enc, zs, z_t) ** 2)
+
+        gp1, gz1, gpt1 = jax.grad(loss_fused, argnums=(0, 1, 2))(
+            params, z_s, pts)
+        gp2, gz2, gpt2 = jax.grad(loss_ref, argnums=(0, 1, 2))(
+            params, z_s, pts)
+        np.testing.assert_allclose(np.asarray(gz1), np.asarray(gz2),
+                                   rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(gpt1), np.asarray(gpt2),
+                                   rtol=1e-4, atol=1e-4)
+        for a, b in zip(jax.tree.leaves(gp1), jax.tree.leaves(gp2)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-4, atol=1e-4)

@@ -1,0 +1,112 @@
+"""Ray-structured (factored concat-matmul) applies must match the flat
+reference-shaped applies exactly."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from codenerf_tpu.models import (
+    CodeNeRFConfig, FlexibleNeRFConfig,
+    init_codenerf, apply_codenerf,
+    init_flexible_nerf, apply_flexible_nerf,
+)
+from codenerf_tpu.models.ray_structured import (
+    apply_codenerf_rays, apply_flexible_rays,
+)
+
+
+class TestCodeNeRFRayStructured:
+    def test_matches_flat_apply(self):
+        cfg = CodeNeRFConfig(hidden_size=64, shape_code_size=32,
+                             texture_code_size=32, num_encoding_fn_xyz=10,
+                             num_encoding_fn_dir=4)
+        params = init_codenerf(jax.random.PRNGKey(0), cfg)
+        rng = np.random.default_rng(0)
+        R, S = 7, 11
+        xyz_enc = jnp.asarray(rng.normal(size=(R, S, cfg.dim_xyz)),
+                              dtype=jnp.float32)
+        dir_enc = jnp.asarray(rng.normal(size=(R, cfg.dim_dir)),
+                              dtype=jnp.float32)
+        z_s = jnp.asarray(rng.normal(size=(R, 32)), dtype=jnp.float32)
+        z_t = jnp.asarray(rng.normal(size=(R, 32)), dtype=jnp.float32)
+
+        fast = apply_codenerf_rays(params, cfg, xyz_enc, dir_enc, z_s, z_t)
+
+        # flat reference-shaped path: broadcast codes + dirs per sample
+        x = jnp.concatenate(
+            [xyz_enc,
+             jnp.broadcast_to(dir_enc[:, None, :], (R, S, cfg.dim_dir))],
+            axis=-1).reshape(R * S, -1)
+        zs_flat = jnp.broadcast_to(z_s[:, None, :], (R, S, 32)).reshape(-1, 32)
+        zt_flat = jnp.broadcast_to(z_t[:, None, :], (R, S, 32)).reshape(-1, 32)
+        flat = apply_codenerf(params, cfg, x, zs_flat, zt_flat).reshape(R, S, 4)
+
+        np.testing.assert_allclose(np.asarray(fast), np.asarray(flat),
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_gradients_match(self):
+        cfg = CodeNeRFConfig(hidden_size=32, shape_code_size=16,
+                             texture_code_size=16, num_encoding_fn_xyz=6,
+                             num_encoding_fn_dir=4)
+        params = init_codenerf(jax.random.PRNGKey(1), cfg)
+        rng = np.random.default_rng(1)
+        R, S = 4, 6
+        xyz_enc = jnp.asarray(rng.normal(size=(R, S, cfg.dim_xyz)),
+                              dtype=jnp.float32)
+        dir_enc = jnp.asarray(rng.normal(size=(R, cfg.dim_dir)),
+                              dtype=jnp.float32)
+        z_s = jnp.asarray(rng.normal(size=(R, 16)), dtype=jnp.float32)
+        z_t = jnp.asarray(rng.normal(size=(R, 16)), dtype=jnp.float32)
+
+        g_fast = jax.grad(lambda z: jnp.sum(apply_codenerf_rays(
+            params, cfg, xyz_enc, dir_enc, z, z_t) ** 2))(z_s)
+
+        def flat_loss(z):
+            x = jnp.concatenate(
+                [xyz_enc, jnp.broadcast_to(dir_enc[:, None, :],
+                                           (R, S, cfg.dim_dir))],
+                axis=-1).reshape(R * S, -1)
+            zs = jnp.broadcast_to(z[:, None, :], (R, S, 16)).reshape(-1, 16)
+            zt = jnp.broadcast_to(z_t[:, None, :], (R, S, 16)).reshape(-1, 16)
+            return jnp.sum(apply_codenerf(params, cfg, x, zs, zt) ** 2)
+
+        g_flat = jax.grad(flat_loss)(z_s)
+        np.testing.assert_allclose(np.asarray(g_fast), np.asarray(g_flat),
+                                   rtol=1e-4, atol=1e-4)
+
+
+class TestFlexibleRayStructured:
+    def test_matches_flat_apply_with_skip(self):
+        cfg = FlexibleNeRFConfig(num_layers=8, hidden_size=64,
+                                 skip_connect_ids=(4,), num_encoding_fn_xyz=10,
+                                 num_encoding_fn_dir=4, use_viewdirs=True)
+        params = init_flexible_nerf(jax.random.PRNGKey(2), cfg)
+        rng = np.random.default_rng(2)
+        R, S = 5, 9
+        xyz_enc = jnp.asarray(rng.normal(size=(R, S, cfg.dim_xyz)),
+                              dtype=jnp.float32)
+        dir_enc = jnp.asarray(rng.normal(size=(R, cfg.dim_dir)),
+                              dtype=jnp.float32)
+
+        fast = apply_flexible_rays(params, cfg, xyz_enc, dir_enc)
+        x = jnp.concatenate(
+            [xyz_enc, jnp.broadcast_to(dir_enc[:, None, :],
+                                       (R, S, cfg.dim_dir))],
+            axis=-1).reshape(R * S, -1)
+        flat = apply_flexible_nerf(params, cfg, x).reshape(R, S, 4)
+        np.testing.assert_allclose(np.asarray(fast), np.asarray(flat),
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_no_viewdirs(self):
+        cfg = FlexibleNeRFConfig(num_layers=4, hidden_size=32,
+                                 use_viewdirs=False)
+        params = init_flexible_nerf(jax.random.PRNGKey(3), cfg)
+        rng = np.random.default_rng(3)
+        R, S = 3, 4
+        xyz_enc = jnp.asarray(rng.normal(size=(R, S, cfg.dim_xyz)),
+                              dtype=jnp.float32)
+        fast = apply_flexible_rays(params, cfg, xyz_enc, None)
+        flat = apply_flexible_nerf(
+            params, cfg, xyz_enc.reshape(R * S, -1)).reshape(R, S, 4)
+        np.testing.assert_allclose(np.asarray(fast), np.asarray(flat),
+                                   rtol=1e-5, atol=1e-5)
