@@ -160,8 +160,11 @@ class RuntimeConfig:
     num_devices: int = 0
     # 'float32' for strict parity, 'bfloat16' for MXU speed-of-light matmuls.
     compute_dtype: str = "bfloat16"
-    # use the fused Pallas ray-march kernel where available
-    use_pallas: bool = True
+    # use the fused Pallas ray-march trunk kernel for CodeNeRF on TPU.
+    # Default off: the XLA ray-structured + remat path currently measures
+    # faster fwd+bwd (55.1k vs 48.1k rays/s); the kernel is kept for
+    # forward-dominated workloads and further tuning.
+    use_pallas: bool = False
     # rematerialize MLP activations in the backward pass (HBM-bound win:
     # the per-sample activation stack is ~9 x [R*S, hidden] otherwise)
     remat: bool = True

@@ -25,17 +25,59 @@ Inputs are kept in ray-major [R, S, .] layout; nothing of size [R, S, C]
 
 from __future__ import annotations
 
+from functools import partial
+
 import jax
 import jax.numpy as jnp
 
 from codenerf_tpu.models.mlp import CodeNeRFConfig, FlexibleNeRFConfig
 
 
+@partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _dot_lp(x, w, cd):
+    """Low-precision matmul: ``cd`` inputs, f32 MXU accumulation, ``cd``
+    RESULT.
+
+    Returning ``cd`` makes the activation chain — and therefore every
+    backward cotangent — half-width end-to-end, which halves the HBM
+    traffic on both sides of the step; plain autodiff would instead thread
+    f32 cotangents through the backward matmuls.  Weight gradients are
+    emitted in the weights' own (f32 master) dtype.
+    """
+    return jnp.dot(x.astype(cd), w.astype(cd),
+                   preferred_element_type=jnp.float32).astype(cd)
+
+
+def _dot_lp_fwd(x, w, cd):
+    return _dot_lp(x, w, cd), (x, w)
+
+
+def _dot_lp_bwd(cd, res, g):
+    x, w = res
+    gc = g.astype(cd)
+    # dx = g @ w^T  — [..., out] x [out, in]
+    dx = jnp.dot(gc, w.astype(cd).T,
+                 preferred_element_type=jnp.float32).astype(x.dtype)
+    # dw = x^T @ g with all leading axes contracted
+    xf = x.reshape(-1, x.shape[-1]).astype(cd)
+    gf = gc.reshape(-1, gc.shape[-1])
+    dw = jnp.dot(xf.T, gf, preferred_element_type=jnp.float32).astype(w.dtype)
+    return dx, dw
+
+
+_dot_lp.defvjp(_dot_lp_fwd, _dot_lp_bwd)
+
+
 def _mm(x, w, cd):
     if cd is not None:
-        x = x.astype(cd)
-        w = w.astype(cd)
+        return _dot_lp(x, w, cd)
     return jnp.dot(x, w, preferred_element_type=jnp.float32)
+
+
+def _lin(params, x, cd):
+    """Linear layer preserving the compute dtype (bias cast to match)."""
+    y = _mm(x, params["w"], cd)
+    return y + params["b"].astype(y.dtype)
 
 
 def _split_w(params, dim_top):
@@ -59,41 +101,47 @@ def apply_codenerf_rays(params, cfg: CodeNeRFConfig, xyz_enc: jax.Array,
     cd = cfg._cdtype
     relu = jax.nn.relu
     h = cfg.hidden_size
+    if cd is not None:
+        # cast once at the boundary so the large encodings/codes are read
+        # (and their remat residuals stored) at half width
+        xyz_enc = xyz_enc.astype(cd)
+        dir_enc = dir_enc.astype(cd)
+        z_s = z_s.astype(cd)
+        z_t = z_t.astype(cd)
+
+    def bias(y, b):
+        return y + b.astype(y.dtype)
 
     # ---- per-ray precomputations (cost independent of S) ----
-    zs1 = relu(_mm(z_s, params["shape_code_layer1"]["w"], cd)
-               + params["shape_code_layer1"]["b"])
-    zs2 = relu(_mm(z_s, params["shape_code_layer2"]["w"], cd)
-               + params["shape_code_layer2"]["b"])
-    zt1 = relu(_mm(z_t, params["texture_code_layer1"]["w"], cd)
-               + params["texture_code_layer1"]["b"])
+    zs1 = relu(_lin(params["shape_code_layer1"], z_s, cd))
+    zs2 = relu(_lin(params["shape_code_layer2"], z_s, cd))
+    zt1 = relu(_lin(params["texture_code_layer1"], z_t, cd))
 
     # layer_xyz2 consumes concat(h, zs1): factor the zs1 half per-ray
     w2_top, w2_bot = _split_w(params["layer_xyz2"], h)
-    zs1_part = _mm(zs1, w2_bot, cd) + params["layer_xyz2"]["b"]      # [R, h]
+    zs1_part = bias(_mm(zs1, w2_bot, cd), params["layer_xyz2"]["b"])  # [R, h]
     # fc_out consumes concat(h2, zs2)
     wo_top, wo_bot = _split_w(params["fc_out"], h)
-    zs2_part = _mm(zs2, wo_bot, cd) + params["fc_out"]["b"]          # [R, s+1]
+    zs2_part = bias(_mm(zs2, wo_bot, cd), params["fc_out"]["b"])    # [R, s+1]
     # layer_dir1 consumes concat(feat, dir_enc): dir half per-ray
     wd_top, wd_bot = _split_w(params["layer_dir1"], cfg.shape_code_size)
-    dir_part = _mm(dir_enc, wd_bot, cd) + params["layer_dir1"]["b"]  # [R, h]
+    dir_part = bias(_mm(dir_enc, wd_bot, cd), params["layer_dir1"]["b"])
     # fc_rgb consumes concat(v, zt1)
     wr_top, wr_bot = _split_w(params["fc_rgb"], h)
-    zt1_part = _mm(zt1, wr_bot, cd) + params["fc_rgb"]["b"]          # [R, 3]
+    zt1_part = bias(_mm(zt1, wr_bot, cd), params["fc_rgb"]["b"])      # [R, 3]
 
     # ---- per-sample trunk ----
-    x = relu(_mm(xyz_enc, params["layer_xyz1"]["w"], cd)
-             + params["layer_xyz1"]["b"])
+    x = relu(_lin(params["layer_xyz1"], xyz_enc, cd))
     x = relu(_mm(x, w2_top, cd) + zs1_part[:, None, :])
     feat = _mm(x, wo_top, cd) + zs2_part[:, None, :]
     sigma, feat = feat[..., :1], feat[..., 1:]
 
     v = relu(_mm(feat, wd_top, cd) + dir_part[:, None, :])
-    v = relu(_mm(v, params["layer_dir2"]["w"], cd)
-             + params["layer_dir2"]["b"])
+    v = relu(_lin(params["layer_dir2"], v, cd))
     rgb = _mm(v, wr_top, cd) + zt1_part[:, None, :]
 
-    return jnp.concatenate([rgb, sigma], axis=-1)
+    # volume rendering runs in f32 regardless of the compute dtype
+    return jnp.concatenate([rgb, sigma], axis=-1).astype(jnp.float32)
 
 
 def apply_flexible_rays(params, cfg: FlexibleNeRFConfig, xyz_enc: jax.Array,
@@ -107,25 +155,29 @@ def apply_flexible_rays(params, cfg: FlexibleNeRFConfig, xyz_enc: jax.Array,
     cd = cfg._cdtype
     relu = jax.nn.relu
     h = cfg.hidden_size
+    if cd is not None:
+        xyz_enc = xyz_enc.astype(cd)
+        if dir_enc is not None:
+            dir_enc = dir_enc.astype(cd)
 
-    out = relu(_mm(xyz_enc, params["layer1"]["w"], cd) + params["layer1"]["b"])
+    out = relu(_lin(params["layer1"], xyz_enc, cd))
     for i, layer in enumerate(params["layers_xyz"]):
         if i in cfg.skip_connect_ids:
             # skip layer consumes concat(out, xyz_enc): both halves are
             # per-sample; factor to avoid materializing the concat
             w_top, w_bot = _split_w(layer, h)
-            out = relu(_mm(out, w_top, cd) + _mm(xyz_enc, w_bot, cd)
-                       + layer["b"])
+            y = _mm(out, w_top, cd) + _mm(xyz_enc, w_bot, cd)
+            out = relu(y + layer["b"].astype(y.dtype))
         else:
-            out = relu(_mm(out, layer["w"], cd) + layer["b"])
+            out = relu(_lin(layer, out, cd))
 
     if cfg.use_viewdirs:
-        feat = relu(_mm(out, params["fc_feat"]["w"], cd)
-                    + params["fc_feat"]["b"])
-        sigma = _mm(feat, params["fc_alpha"]["w"], cd) + params["fc_alpha"]["b"]
+        feat = relu(_lin(params["fc_feat"], out, cd))
+        sigma = _lin(params["fc_alpha"], feat, cd)
         wd_top, wd_bot = _split_w(params["layer_dir1"], h)
-        dir_part = _mm(dir_enc, wd_bot, cd) + params["layer_dir1"]["b"]
+        dp = _mm(dir_enc, wd_bot, cd)
+        dir_part = dp + params["layer_dir1"]["b"].astype(dp.dtype)
         v = relu(_mm(feat, wd_top, cd) + dir_part[:, None, :])
-        rgb = _mm(v, params["fc_rgb"]["w"], cd) + params["fc_rgb"]["b"]
-        return jnp.concatenate([rgb, sigma], axis=-1)
-    return _mm(out, params["fc_out"]["w"], cd) + params["fc_out"]["b"]
+        rgb = _lin(params["fc_rgb"], v, cd)
+        return jnp.concatenate([rgb, sigma], axis=-1).astype(jnp.float32)
+    return _lin(params["fc_out"], out, cd).astype(jnp.float32)

@@ -159,7 +159,7 @@ def _trunk_pallas(pts, per_ray, weights, b1_rows, *, S: int, T: int,
 
 def make_fused_codenerf(cfg: CodeNeRFConfig, num_freq_xyz: int,
                         include_input_xyz: bool, log_sampling_xyz: bool,
-                        tile_rows: int = 4096):
+                        tile_rows: int = 2048):
     """Build the fused apply with custom VJP.
 
     Returned signature:

@@ -38,6 +38,11 @@ def run_training(cfg: Config, max_steps: Optional[int] = None,
                                               state)
     elif checkpoint.latest_step(ckpt_dir) is not None:
         state = checkpoint.restore_checkpoint(ckpt_dir, state)
+    if harness.mesh is not None:
+        # restored arrays come back committed to one device; replicate them
+        # over the mesh so the sharded train step accepts them
+        from codenerf_tpu.parallel.mesh import replicated_sharding
+        state = jax.device_put(state, replicated_sharding(harness.mesh))
 
     train_step = make_train_step(
         harness.settings, optimizer,

@@ -110,3 +110,43 @@ class TestFlexibleRayStructured:
             params, cfg, xyz_enc.reshape(R * S, -1)).reshape(R, S, 4)
         np.testing.assert_allclose(np.asarray(fast), np.asarray(flat),
                                    rtol=1e-5, atol=1e-5)
+
+
+class TestLowPrecisionBackward:
+    def test_bf16_grads_close_to_f32(self):
+        """The custom bf16-backward dot must agree with the f32 path within
+        bf16 tolerance (values and all gradients)."""
+        cfg32 = CodeNeRFConfig(hidden_size=64, shape_code_size=32,
+                               texture_code_size=32, num_encoding_fn_xyz=6,
+                               num_encoding_fn_dir=4)
+        cfg16 = CodeNeRFConfig(hidden_size=64, shape_code_size=32,
+                               texture_code_size=32, num_encoding_fn_xyz=6,
+                               num_encoding_fn_dir=4,
+                               compute_dtype="bfloat16")
+        params = init_codenerf(jax.random.PRNGKey(5), cfg32)
+        rng = np.random.default_rng(5)
+        R, S = 6, 8
+        xyz_enc = jnp.asarray(rng.normal(size=(R, S, cfg32.dim_xyz)),
+                              dtype=jnp.float32)
+        dir_enc = jnp.asarray(rng.normal(size=(R, cfg32.dim_dir)),
+                              dtype=jnp.float32)
+        z_s = jnp.asarray(rng.normal(size=(R, 32)), dtype=jnp.float32)
+        z_t = jnp.asarray(rng.normal(size=(R, 32)), dtype=jnp.float32)
+
+        def loss(cfg):
+            def f(p, zs):
+                return jnp.mean(apply_codenerf_rays(
+                    p, cfg, xyz_enc, dir_enc, zs, z_t) ** 2)
+            return f
+
+        v32, (gp32, gz32) = jax.value_and_grad(loss(cfg32), argnums=(0, 1))(
+            params, z_s)
+        v16, (gp16, gz16) = jax.value_and_grad(loss(cfg16), argnums=(0, 1))(
+            params, z_s)
+        assert np.isfinite(float(v16))
+        np.testing.assert_allclose(float(v16), float(v32), rtol=0.05)
+        np.testing.assert_allclose(np.asarray(gz16), np.asarray(gz32),
+                                   rtol=0.5, atol=0.05)
+        for a, b in zip(jax.tree.leaves(gp16), jax.tree.leaves(gp32)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=0.5, atol=0.08)

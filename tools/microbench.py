@@ -1,0 +1,113 @@
+#!/usr/bin/env python
+"""Decompose the train-step time: sampling vs MLP vs volume render vs bwd.
+
+One process, several jits, prints per-component times at the bench shapes
+(8192 rays, 64 coarse + 64 fine, CodeNeRF 256/256).
+"""
+
+import time
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from codenerf_tpu.config.schema import (
+    Config, ModelsConfig, ModelSpec, EmbeddingSpec, NerfConfig,
+    PointSamplerConfig, RuntimeConfig,
+)
+from codenerf_tpu.ops.sampling import base_z_vals, sample_stratified, sample_pdf
+from codenerf_tpu.ops.volume_render import volume_render
+from codenerf_tpu.pipeline import RenderSettings, render_rays, init_model, _forward
+from codenerf_tpu.models import init_code_tables, lookup_codes
+
+
+def timed(name, fn, *args, steps=10):
+    out = fn(*args)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / steps
+    print(f"{name:40s} {dt*1000:8.2f} ms")
+    return dt
+
+
+def main(use_pallas=True):
+    R, S_C, S_F, H, C = 8192, 64, 64, 256, 256
+    cfg = Config(
+        models=ModelsConfig(
+            nerf_coarse=ModelSpec(type="CodeNeRFModel", hidden_size=H),
+            nerf_fine=ModelSpec(type="CodeNeRFModel", hidden_size=H),
+            embedding=EmbeddingSpec(shape_code_size=C, texture_code_size=C)),
+        nerf=NerfConfig(point_sampler=PointSamplerConfig(
+            num_coarse=S_C, num_fine=S_F, near_limit=0.8, far_limit=1.8,
+            perturb=True)),
+        runtime=RuntimeConfig(compute_dtype="bfloat16",
+                              use_pallas=use_pallas),
+    )
+    settings = RenderSettings.from_config(cfg)
+    kc, kf, kt = jax.random.split(jax.random.PRNGKey(0), 3)
+    params = {"coarse": init_model(kc, settings.coarse_cfg),
+              "fine": init_model(kf, settings.fine_cfg)}
+    codes = init_code_tables(kt, 2458, C, C)
+
+    rng = np.random.default_rng(0)
+    ro = jnp.asarray(rng.normal(size=(R, 3)), jnp.float32)
+    rd = jnp.asarray(rng.normal(size=(R, 3)), jnp.float32)
+    ids = jnp.asarray(rng.integers(0, 2458, size=(R,)), jnp.int32)
+    z_s, z_t = lookup_codes(codes, ids)
+    key = jax.random.PRNGKey(1)
+    target = jnp.asarray(rng.uniform(size=(R, 3)), jnp.float32)
+
+    print(f"use_pallas={use_pallas} backend={jax.default_backend()}")
+
+    # sampling only
+    zg = base_z_vals(S_C, 0.8, 1.8, "lindepth")
+    @jax.jit
+    def sampling(key):
+        k1, k2 = jax.random.split(key)
+        pts_c, z_c = sample_stratified(k1, ro, rd, zg, True)
+        w = jnp.abs(jax.random.normal(k1, (R, S_C - 2)))
+        pts_f, z_f = sample_pdf(k2, ro, rd, w, z_c, S_F, True)
+        return pts_f
+    timed("sampling (stratified+pdf+sort)", sampling, key)
+
+    # coarse MLP fwd only
+    @jax.jit
+    def mlp_coarse(key):
+        k1, _ = jax.random.split(key)
+        pts_c, z_c = sample_stratified(k1, ro, rd, zg, True)
+        return _forward(params["coarse"], settings.coarse_cfg, settings,
+                        pts_c, rd, z_s, z_t)
+    timed("coarse sample+MLP fwd (64 samp)", mlp_coarse, key)
+
+    # full fwd
+    @jax.jit
+    def full_fwd(key):
+        out_c, out_f = render_rays(params, settings, ro, rd, z_s, z_t, key,
+                                   True)
+        return out_f.rgb
+    timed("full render fwd (coarse+fine)", full_fwd, key)
+
+    # full fwd+bwd (loss over params+codes)
+    def loss_fn(p, cds, key):
+        zs, zt = lookup_codes(cds, ids)
+        out_c, out_f = render_rays(p, settings, ro, rd, zs, zt, key, True)
+        return (jnp.mean((out_c.rgb - target) ** 2)
+                + jnp.mean((out_f.rgb - target) ** 2))
+    grad_fn = jax.jit(jax.grad(loss_fn, argnums=(0, 1)))
+    dt = timed("full fwd+bwd", grad_fn, params, codes, key)
+    print(f"{'-> rays/s (fwd+bwd only)':40s} {R/dt:10.0f}")
+
+
+if __name__ == "__main__":
+    import argparse
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--no-pallas", action="store_true")
+    a = ap.parse_args()
+    main(use_pallas=not a.no_pallas)
