@@ -23,6 +23,8 @@ def run_bench(num_rays: int = 8192, hidden: int = 256, code: int = 256,
               num_coarse: int = 64, num_fine: int = 64, steps: int = 20,
               compute_dtype: str = "bfloat16") -> dict:
     import jax
+    from codenerf_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
     import jax.numpy as jnp
     import numpy as np
     import optax

@@ -165,9 +165,11 @@ class RuntimeConfig:
     # faster fwd+bwd (55.1k vs 48.1k rays/s); the kernel is kept for
     # forward-dominated workloads and further tuning.
     use_pallas: bool = False
-    # rematerialize MLP activations in the backward pass (HBM-bound win:
-    # the per-sample activation stack is ~9 x [R*S, hidden] otherwise)
-    remat: bool = True
+    # rematerialize MLP activations in the backward pass.  With the bf16
+    # activation chain the stored stack (~9 x [R*S, hidden] bf16) fits HBM
+    # at default batch sizes and storing beats recomputing (176.5k vs
+    # 143.6k rays/s measured); enable for very large ray batches / models.
+    remat: bool = False
     # when set, capture a jax.profiler trace of a few steady-state train
     # steps into this directory (view with tensorboard / xprof)
     profile_dir: str = ""

@@ -88,8 +88,8 @@ class RenderSettings:
     coarse_cfg: Any
     fine_cfg: Any
     white_background: bool = False
-    remat: bool = True
-    use_pallas: bool = True
+    remat: bool = False
+    use_pallas: bool = False
 
     @staticmethod
     def from_config(cfg: Config, compute_dtype: Optional[str] = None

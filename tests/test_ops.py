@@ -187,3 +187,32 @@ class TestVolumeRender:
         expect_rgb = 1.0 / (1.0 + np.exp(-2.0)) * 1.002 - 0.001
         np.testing.assert_allclose(np.asarray(out.rgb), expect_rgb, atol=1e-3)
         np.testing.assert_allclose(np.asarray(out.depth), 1.0, atol=1e-3)
+
+
+class TestWhiteBackground:
+    def test_blend_to_white(self):
+        # empty space (sigma -> 0) must composite to pure white
+        R, S = 4, 16
+        raw = np.full((R, S, 4), -50.0, dtype=np.float32)  # sigma ~ 0
+        z = np.tile(np.linspace(1.0, 2.0, S, dtype=np.float32), (R, 1))
+        rd = np.tile(np.array([0.0, 0.0, 1.0], dtype=np.float32), (R, 1))
+        out = volume_render(jnp.asarray(raw), jnp.asarray(z), jnp.asarray(rd),
+                            white_background=True)
+        np.testing.assert_allclose(np.asarray(out.rgb), 1.0, atol=1e-3)
+        # default (off) composites to ~black (widened sigmoid floor)
+        out2 = volume_render(jnp.asarray(raw), jnp.asarray(z),
+                             jnp.asarray(rd))
+        assert float(np.abs(np.asarray(out2.rgb)).max()) < 1e-2
+
+    def test_opaque_unchanged_by_background(self):
+        R, S = 3, 8
+        rng = np.random.default_rng(0)
+        raw = rng.normal(size=(R, S, 4)).astype(np.float32)
+        raw[:, 0, 3] = 1000.0  # fully opaque first sample
+        z = np.tile(np.linspace(1.0, 2.0, S, dtype=np.float32), (R, 1))
+        rd = np.ones((R, 3), dtype=np.float32)
+        a = volume_render(jnp.asarray(raw), jnp.asarray(z), jnp.asarray(rd))
+        b = volume_render(jnp.asarray(raw), jnp.asarray(z), jnp.asarray(rd),
+                          white_background=True)
+        np.testing.assert_allclose(np.asarray(a.rgb), np.asarray(b.rgb),
+                                   atol=1e-3)

@@ -53,10 +53,38 @@ def render_sphere(H, W, focal, pose, color, radius=0.35):
     return (img * 255).clip(0, 254.9).astype(np.uint8)
 
 
+def write_blender(root: Path, rng, H, W, views, val_views):
+    """nerf_synthetic-style tree: transforms_{train,val}.json + RGBA PNGs.
+
+    Cameras use the same spherical parametrization; focal derives from a
+    fixed camera_angle_x as the loader expects."""
+    import json
+    color = rng.uniform(0.2, 1.0, size=3)
+    camera_angle_x = 2.0 * np.arctan(0.5 * W / (0.9 * W))
+    for stage, n in [("train", views), ("val", val_views)]:
+        (root / stage).mkdir(parents=True, exist_ok=True)
+        frames = []
+        for v in range(n):
+            theta = rng.uniform(1.0, 2.1)
+            phi = rng.uniform(-0.5, 0.5)
+            pose = spherical_pose(theta, phi, 1.3)
+            img = render_sphere(H, W, 0.5 * W / np.tan(0.5 * camera_angle_x),
+                                pose, color)
+            rgba = np.concatenate(
+                [img, np.full_like(img[..., :1], 255)], axis=-1)
+            imageio.imwrite(root / stage / f"r_{v}.png", rgba)
+            frames.append({"file_path": f"./{stage}/r_{v}",
+                           "transform_matrix": pose.tolist()})
+        meta = {"camera_angle_x": float(camera_angle_x), "frames": frames}
+        (root / f"transforms_{stage}.json").write_text(json.dumps(meta))
+    print(f"Wrote synthetic Blender dataset to {root}")
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", required=True)
     ap.add_argument("--name", default="cars")
+    ap.add_argument("--format", choices=["srn", "blender"], default="srn")
     ap.add_argument("--objects", type=int, default=3)
     ap.add_argument("--views", type=int, default=10)
     ap.add_argument("--val-views", type=int, default=4)
@@ -68,6 +96,10 @@ def main():
     H = W = args.size
     focal = 0.9 * args.size
     root = Path(args.out)
+
+    if args.format == "blender":
+        write_blender(root, rng, H, W, args.views, args.val_views)
+        return
 
     for stage, n_views in [("train", args.views), ("val", args.val_views)]:
         for o in range(args.objects):

@@ -15,6 +15,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from codenerf_tpu.utils.cache import enable_compilation_cache
+
+enable_compilation_cache()
+
 from codenerf_tpu.config.schema import (
     Config, ModelsConfig, ModelSpec, EmbeddingSpec, NerfConfig,
     PointSamplerConfig, RuntimeConfig,

@@ -34,6 +34,8 @@ def main():
     import jax
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
+    from codenerf_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
     if args.multihost:
         jax.distributed.initialize()
 
