@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import signal
 import time
 from typing import Optional
 
@@ -61,6 +62,21 @@ def run_training(cfg: Config, max_steps: Optional[int] = None,
         total_steps = min(total_steps, int(jax.device_get(state.step)) +
                           max_steps)
 
+    # Preemption handling (SURVEY §5: the reference has none — recovery is
+    # manual restart).  On SIGTERM/SIGINT we finish the current step, save a
+    # checkpoint, and exit cleanly; the next launch auto-resumes from it.
+    interrupted = {"flag": False}
+
+    def _request_stop(signum, frame):
+        interrupted["flag"] = True
+
+    prev_handlers = {}
+    for sig in (signal.SIGTERM, signal.SIGINT):
+        try:
+            prev_handlers[sig] = signal.signal(sig, _request_stop)
+        except ValueError:
+            pass  # not the main thread (e.g. under a test runner)
+
     start_step = int(jax.device_get(state.step))
     metrics_out = {}
     rays_per_step = (cfg.nerf.ray_sampler.num_random_rays
@@ -112,5 +128,14 @@ def run_training(cfg: Config, max_steps: Optional[int] = None,
             val_m = validate(harness, state.params, logger, i)
             metrics_out.update({f"val_{k_}": v for k_, v in val_m.items()})
 
+        if interrupted["flag"]:
+            if is_main_process():
+                checkpoint.save_checkpoint(ckpt_dir, state)
+                print(f"=== interrupted: checkpoint saved at step {i}; "
+                      "relaunch to resume ===")
+            break
+
+    for sig, handler in prev_handlers.items():
+        signal.signal(sig, handler)
     logger.close()
     return metrics_out

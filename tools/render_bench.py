@@ -1,0 +1,79 @@
+#!/usr/bin/env python
+"""Forward-only (serving) render benchmark: XLA path vs Pallas fused trunk.
+
+Full-image rendering has no backward pass, so the fused kernel's
+fwd-only economics differ from training; this decides which path the
+image renderer should default to.
+"""
+
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from codenerf_tpu.utils.cache import enable_compilation_cache
+
+enable_compilation_cache()
+
+import dataclasses
+
+from codenerf_tpu.config.schema import (
+    Config, ModelsConfig, ModelSpec, EmbeddingSpec, NerfConfig,
+    PointSamplerConfig, RuntimeConfig,
+)
+from codenerf_tpu.pipeline import RenderSettings, render_rays, init_model
+
+
+def timed(name, fn, *args, steps=10):
+    out = fn(*args)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / steps
+    print(f"{name:30s} {dt*1000:8.2f} ms   "
+          f"{args[2].shape[0]/dt:12.0f} rays/s")
+    return dt
+
+
+def main():
+    R, H, C = 8192, 256, 256
+    cfg = Config(
+        models=ModelsConfig(
+            nerf_coarse=ModelSpec(type="CodeNeRFModel", hidden_size=H),
+            nerf_fine=ModelSpec(type="CodeNeRFModel", hidden_size=H),
+            embedding=EmbeddingSpec(shape_code_size=C, texture_code_size=C)),
+        nerf=NerfConfig(point_sampler=PointSamplerConfig(
+            num_coarse=64, num_fine=64, near_limit=0.8, far_limit=1.8,
+            perturb=False)),
+        runtime=RuntimeConfig(compute_dtype="bfloat16"),
+    )
+    base = RenderSettings.from_config(cfg)
+    kc, kf = jax.random.split(jax.random.PRNGKey(0))
+    params = {"coarse": init_model(kc, base.coarse_cfg),
+              "fine": init_model(kf, base.fine_cfg)}
+    rng = np.random.default_rng(0)
+    ro = jnp.asarray(rng.normal(size=(R, 3)), jnp.float32)
+    rd = jnp.asarray(rng.normal(size=(R, 3)), jnp.float32)
+    z = jnp.asarray(rng.normal(size=(R, C)) * 0.1, jnp.float32)
+
+    for name, use_pallas in [("XLA fwd-only", False), ("Pallas fwd-only", True)]:
+        settings = dataclasses.replace(base, use_pallas=use_pallas)
+
+        @jax.jit
+        def render(params, ro, rd, z):
+            _, out_f = render_rays(params, settings, ro, rd, z, z, None,
+                                   False)
+            return out_f.rgb
+
+        timed(name, render, params, ro, rd, z)
+
+
+if __name__ == "__main__":
+    main()
