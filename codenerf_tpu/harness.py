@@ -20,7 +20,7 @@ import jax.numpy as jnp
 from codenerf_tpu.config.schema import Config
 from codenerf_tpu.config import dump_config
 from codenerf_tpu.core.geometry import pixel_directions, pose_spherical
-from codenerf_tpu.core.metrics import mse2psnr
+from codenerf_tpu.core.metrics import mse2psnr, ssim
 from codenerf_tpu.data import build_dataset, BatchIterator
 from codenerf_tpu.eval.render import make_image_renderer
 from codenerf_tpu.eval.tto import init_tto_state, make_tto_step
@@ -141,7 +141,9 @@ def validate(harness: Harness, params: dict, logger: MetricLogger,
     target_flat = target.reshape(-1, target.shape[-1])
     mse = float(jnp.mean((rgb - target_flat[..., :3]) ** 2))
     psnr = float(mse2psnr(jnp.asarray(mse)))
-    out = {"loss": mse, "psnr": psnr}
+    rgb_img = rgb.reshape(harness.height, harness.width, 3)
+    ssim_val = float(ssim(rgb_img, target[..., :3]))
+    out = {"loss": mse, "psnr": psnr, "ssim": ssim_val}
     if is_main_process():
         line = logger.log_scalars("val", iteration, out)
         print(line)

@@ -161,3 +161,32 @@ class TestMetrics:
     def test_mse2psnr(self):
         assert float(mse2psnr(jnp.float32(0.01))) == pytest.approx(20.0, abs=1e-4)
         assert np.isfinite(float(mse2psnr(jnp.float32(0.0))))
+
+
+class TestSSIM:
+    def test_identical_images(self):
+        from codenerf_tpu.core.metrics import ssim
+        img = jnp.asarray(np.random.default_rng(0).uniform(
+            size=(32, 32, 3)), dtype=jnp.float32)
+        assert float(ssim(img, img)) == pytest.approx(1.0, abs=1e-5)
+
+    def test_uncorrelated_lower_than_noisy(self):
+        from codenerf_tpu.core.metrics import ssim
+        rng = np.random.default_rng(1)
+        img = jnp.asarray(rng.uniform(size=(32, 32, 3)), dtype=jnp.float32)
+        noisy = img + jnp.asarray(rng.normal(size=(32, 32, 3)) * 0.05,
+                                  dtype=jnp.float32)
+        other = jnp.asarray(rng.uniform(size=(32, 32, 3)), dtype=jnp.float32)
+        s_noisy = float(ssim(img, noisy))
+        s_other = float(ssim(img, other))
+        assert 0.5 < s_noisy < 1.0
+        assert s_other < s_noisy
+
+    def test_matches_known_degradation(self):
+        from codenerf_tpu.core.metrics import ssim
+        # constant shift barely affects structure -> high SSIM but < 1
+        img = jnp.asarray(np.random.default_rng(2).uniform(
+            size=(24, 24, 3)), dtype=jnp.float32) * 0.5
+        shifted = jnp.clip(img + 0.1, 0, 1)
+        s = float(ssim(img, shifted))
+        assert 0.5 < s < 0.999

@@ -80,11 +80,39 @@ def write_blender(root: Path, rng, H, W, views, val_views):
     print(f"Wrote synthetic Blender dataset to {root}")
 
 
+def write_llff(root: Path, rng, H, W, views):
+    """LLFF layout: images/ + poses_bounds.npy.
+
+    Stored pose columns are [down, right, back] (the loader flips them back
+    to [right, up, back]); the rendered sphere sits at the world origin and
+    the loader's recentering applies one rigid transform to every camera, so
+    the multi-view scene stays consistent."""
+    (root / "images").mkdir(parents=True, exist_ok=True)
+    color = rng.uniform(0.2, 1.0, size=3)
+    focal = 0.9 * W
+    pb = np.zeros((views, 17))
+    for v in range(views):
+        theta = rng.uniform(1.3, 1.9)
+        phi = rng.uniform(-0.3, 0.3)
+        pose = spherical_pose(theta, phi, 1.3)
+        img = render_sphere(H, W, focal, pose, color)
+        imageio.imwrite(root / "images" / f"img_{v:03d}.png", img)
+        right, up, back, t = (pose[:3, 0], pose[:3, 1], pose[:3, 2],
+                              pose[:3, 3])
+        stored = np.stack([-up, right, back, t], axis=1)       # [3, 4]
+        hwf = np.array([H, W, focal]).reshape(3, 1)
+        pb[v, :15] = np.concatenate([stored, hwf], axis=1).ravel()
+        pb[v, 15:] = [0.5, 2.5]
+    np.save(root / "poses_bounds.npy", pb)
+    print(f"Wrote synthetic LLFF dataset to {root}")
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", required=True)
     ap.add_argument("--name", default="cars")
-    ap.add_argument("--format", choices=["srn", "blender"], default="srn")
+    ap.add_argument("--format", choices=["srn", "blender", "llff"],
+                    default="srn")
     ap.add_argument("--objects", type=int, default=3)
     ap.add_argument("--views", type=int, default=10)
     ap.add_argument("--val-views", type=int, default=4)
@@ -99,6 +127,9 @@ def main():
 
     if args.format == "blender":
         write_blender(root, rng, H, W, args.views, args.val_views)
+        return
+    if args.format == "llff":
+        write_llff(root, rng, H, W, args.views)
         return
 
     for stage, n_views in [("train", args.views), ("val", args.val_views)]:
