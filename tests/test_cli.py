@@ -1,0 +1,61 @@
+"""Subprocess smoke tests for the CLI entry points (argparse wiring,
+platform override, override plumbing)."""
+
+import subprocess
+import sys
+from pathlib import Path
+
+import pytest
+
+ROOT = Path(__file__).resolve().parents[1]
+
+
+@pytest.fixture(scope="module")
+def synth_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("clisynth") / "srn_cars"
+    subprocess.run(
+        [sys.executable, "tools/make_synth_data.py", "--out", str(root),
+         "--objects", "2", "--views", "3", "--val-views", "2",
+         "--size", "16"],
+        check=True, cwd=ROOT, capture_output=True)
+    return root
+
+
+def test_train_cli_end_to_end(synth_root, tmp_path):
+    res = subprocess.run(
+        [sys.executable, "train.py", "-c", "configs/synth-smoke.yml",
+         "--platform", "cpu", "--max-steps", "3",
+         f"dataset.basedir={synth_root}",
+         f"experiment.logdir={tmp_path}",
+         "experiment.id=cli", "experiment.print_every=1",
+         "experiment.save_every=100000",
+         "nerf.ray_sampler.num_random_rays=16",
+         "nerf.point_sampler.num_coarse=4", "nerf.point_sampler.num_fine=4",
+         "models.nerf_coarse.hidden_size=8", "models.nerf_fine.hidden_size=8",
+         "models.embedding.shape_code_size=8",
+         "models.embedding.texture_code_size=8",
+         "nerf.embedder.num_encoding_fn_xyz=2",
+         "nerf.embedder.num_encoding_fn_dir=2",
+         "runtime.compute_dtype=float32"],
+        cwd=ROOT, capture_output=True, text=True, timeout=300)
+    assert res.returncode == 0, res.stderr[-2000:]
+    assert "[TRAIN ]" in res.stdout
+    assert (tmp_path / "cli" / "config.yml").exists()
+    assert (tmp_path / "cli" / "metrics.jsonl").exists()
+
+
+def test_train_cli_rejects_bad_override(synth_root, tmp_path):
+    res = subprocess.run(
+        [sys.executable, "train.py", "-c", "configs/synth-smoke.yml",
+         "--platform", "cpu", "--max-steps", "1", "bogus.key=1"],
+        cwd=ROOT, capture_output=True, text=True, timeout=120)
+    assert res.returncode != 0
+    assert "unknown config key" in (res.stderr + res.stdout)
+
+
+def test_eval_cli_requires_checkpoint(tmp_path):
+    res = subprocess.run(
+        [sys.executable, "eval.py", "-c", "configs/synth-smoke.yml",
+         "--platform", "cpu"],
+        cwd=ROOT, capture_output=True, text=True, timeout=120)
+    assert res.returncode != 0  # --load-checkpoint is required
