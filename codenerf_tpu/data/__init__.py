@@ -5,6 +5,7 @@ from codenerf_tpu.data.loader import (
     DATASET_REGISTRY,
     build_dataset,
     BatchIterator,
+    PrefetchIterator,
 )
 
 __all__ = [
@@ -14,4 +15,5 @@ __all__ = [
     "DATASET_REGISTRY",
     "build_dataset",
     "BatchIterator",
+    "PrefetchIterator",
 ]

@@ -84,3 +84,40 @@ class BatchIterator:
         idx = [(start * self.batch_size + i) % n
                for i in range(self.batch_size)]
         return self._load(idx)
+
+
+class PrefetchIterator:
+    """Background-thread prefetch wrapper around any batch iterator.
+
+    Decodes the next batch(es) while the device runs the current step —
+    the host-side analog of the reference's (unused) DataLoader workers
+    (util.py:88 sets num_workers=0).  Bounded queue, daemon thread.
+    """
+
+    def __init__(self, iterator, depth: int = 2):
+        import queue
+        import threading
+
+        self._it = iterator
+        self._q = queue.Queue(maxsize=max(1, depth))
+        self._err = None
+
+        def worker():
+            try:
+                while True:
+                    self._q.put(next(self._it))
+            except Exception as e:  # surfaced on the consumer side
+                self._err = e
+                self._q.put(None)
+
+        self._thread = threading.Thread(target=worker, daemon=True)
+        self._thread.start()
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        item = self._q.get()
+        if item is None:
+            raise self._err
+        return item

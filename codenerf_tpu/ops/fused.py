@@ -159,7 +159,10 @@ def _trunk_pallas(pts, per_ray, weights, b1_rows, *, S: int, T: int,
 
 def make_fused_codenerf(cfg: CodeNeRFConfig, num_freq_xyz: int,
                         include_input_xyz: bool, log_sampling_xyz: bool,
-                        tile_rows: int = 2048):
+                        tile_rows: int = 1024):
+    # tile_rows=1024 keeps the kernel's VMEM stack (~9 MB at hidden=256)
+    # under the 16 MB limit for any sample count; 2048 fits at S<=64 but
+    # OOMs at S=128 (measured).
     """Build the fused apply with custom VJP.
 
     Returned signature:

@@ -9,6 +9,7 @@ encode -> MLP -> composite chain, and the ray axis is shardable over a mesh.
 
 from __future__ import annotations
 
+import functools
 from dataclasses import dataclass
 from functools import partial
 from typing import Any, Optional, Tuple
@@ -141,9 +142,6 @@ def encode_inputs(settings: RenderSettings, pts: jax.Array, rd: jax.Array):
                                       settings.include_input_dir,
                                       settings.log_sampling_dir)
     return enc, enc_dir
-
-
-import functools
 
 
 @functools.lru_cache(maxsize=32)

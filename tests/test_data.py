@@ -188,3 +188,27 @@ class TestNativeLoader:
         ds = SRNDataset(str(srn_root), "train")
         h, w, c = native.probe(ds.rgb_files[0][1])
         assert (h, w, c) == (16, 16, 3)
+
+
+class TestPrefetchIterator:
+    def test_prefetch_yields_same_stream(self, srn_root):
+        from codenerf_tpu.data import PrefetchIterator
+        ds = SRNDataset(str(srn_root), "train")
+        plain = BatchIterator(ds, batch_size=2, seed=3)
+        pref = PrefetchIterator(BatchIterator(ds, batch_size=2, seed=3))
+        for _ in range(5):
+            a, b = next(plain), next(pref)
+            np.testing.assert_array_equal(a["object_id"], b["object_id"])
+            np.testing.assert_array_equal(a["color"], b["color"])
+
+    def test_prefetch_propagates_errors(self):
+        from codenerf_tpu.data import PrefetchIterator
+
+        def boom():
+            yield {"x": 1}
+            raise RuntimeError("decode failed")
+
+        it = PrefetchIterator(boom())
+        assert next(it) == {"x": 1}
+        with pytest.raises(RuntimeError, match="decode failed"):
+            next(it)
