@@ -98,6 +98,40 @@ def main(use_pallas=True):
         return out_f.rgb
     timed("full render fwd (coarse+fine)", full_fwd, key)
 
+    # volume render fwd+bwd alone (random radiance field)
+    from codenerf_tpu.ops.volume_render import volume_render
+    raw = jnp.asarray(rng.normal(size=(R, S_C + S_F, 4)), jnp.float32)
+    zv = jnp.sort(jnp.asarray(rng.uniform(0.8, 1.8, size=(R, S_C + S_F)),
+                              jnp.float32), axis=-1)
+
+    @jax.jit
+    def vr_bwd(raw):
+        return jax.grad(lambda r: jnp.sum(volume_render(r, zv, rd).rgb))(raw)
+    timed("volume render fwd+bwd (128 samp)", vr_bwd, raw)
+
+    # encoding fwd+bwd alone
+    from codenerf_tpu.core.encoding import positional_encoding
+    pts = jnp.asarray(rng.uniform(-1, 1, size=(R, S_C + S_F, 3)), jnp.float32)
+
+    @jax.jit
+    def enc_bwd(pts):
+        return jax.grad(lambda p: jnp.sum(positional_encoding(p, 10)))(pts)
+    timed("posenc fwd+bwd (128 samp)", enc_bwd, pts)
+
+    # MLP trunk fwd+bwd alone (fine-pass shape)
+    from codenerf_tpu.models.ray_structured import apply_codenerf_rays
+    enc = positional_encoding(pts, 10)
+    de = jnp.asarray(rng.normal(size=(R, settings.coarse_cfg.dim_dir)),
+                     jnp.float32)
+
+    @jax.jit
+    def mlp_bwd(p, zs):
+        def f(p, zs):
+            return jnp.sum(apply_codenerf_rays(
+                p, settings.coarse_cfg, enc, de, zs, zs) ** 2)
+        return jax.grad(f, argnums=(0, 1))(p, zs)
+    timed("MLP trunk fwd+bwd (128 samp)", mlp_bwd, params["coarse"], z_s)
+
     # full fwd+bwd (loss over params+codes)
     def loss_fn(p, cds, key):
         zs, zt = lookup_codes(cds, ids)
