@@ -59,3 +59,12 @@ def test_eval_cli_requires_checkpoint(tmp_path):
          "--platform", "cpu"],
         cwd=ROOT, capture_output=True, text=True, timeout=120)
     assert res.returncode != 0  # --load-checkpoint is required
+
+
+def test_multihost_distributed_training():
+    """Two real jax.distributed processes over one 8-device mesh."""
+    res = subprocess.run(
+        [sys.executable, "tools/multihost_smoke.py", "--port", "53711"],
+        cwd=ROOT, capture_output=True, text=True, timeout=280)
+    assert res.returncode == 0, res.stdout[-2000:] + res.stderr[-500:]
+    assert "multihost_smoke: PASS" in res.stdout
