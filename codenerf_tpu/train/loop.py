@@ -119,6 +119,9 @@ def run_training(cfg: Config, max_steps: Optional[int] = None,
                 / max(dt, 1e-9)}, time_taken=dt,
                 learning_rate=lr)
             print(line)
+            # target-image panel, as the reference logs at train.py:126
+            logger.log_image("train/target_image", i,
+                             batch["color"][0][..., :3])
             then = time.time()
             metrics_out = {k_: float(v) for k_, v in m._asdict().items()}
 
