@@ -212,3 +212,40 @@ class TestPrefetchIterator:
         assert next(it) == {"x": 1}
         with pytest.raises(RuntimeError, match="decode failed"):
             next(it)
+
+
+class TestSRNQuirks:
+    def test_chairs_train_prefers_v2_subdir(self, tmp_path):
+        """Reference dataset.py:34-38: chairs train split switches to the
+        chairs_2.0_train subdirectory when present."""
+        root = tmp_path / "srn_chairs"
+        alt = root / "chairs_train" / "chairs_2.0_train" / "obj0"
+        (alt / "rgb").mkdir(parents=True)
+        (alt / "pose").mkdir()
+        (alt / "intrinsics.txt").write_text("20. 8. 8. 0.\n0. 0. 0.\n1.\n16 16\n")
+        img = np.zeros((16, 16, 3), dtype=np.uint8)
+        imageio.imwrite(alt / "rgb" / "000000.png", img)
+        np.savetxt(alt / "pose" / "000000.txt", np.eye(4).reshape(1, 16))
+        ds = SRNDataset(str(root), "train")
+        assert "chairs_2.0_train" in str(ds.base_path)
+        assert ds.num_objects == 1
+
+    def test_rgba_images_native_and_python_agree(self, tmp_path):
+        root = tmp_path / "srn_cars"
+        d = root / "cars_train" / "obj0"
+        (d / "rgb").mkdir(parents=True)
+        (d / "pose").mkdir()
+        (d / "intrinsics.txt").write_text("20. 8. 8. 0.\n0. 0. 0.\n1.\n16 16\n")
+        rng = np.random.default_rng(9)
+        img = rng.integers(0, 255, size=(16, 16, 4), dtype=np.uint8)
+        img[:3, :3] = 255
+        imageio.imwrite(d / "rgb" / "000000.png", img)
+        np.savetxt(d / "pose" / "000000.txt", np.eye(4).reshape(1, 16))
+
+        py = SRNDataset(str(root), "train", use_native=False).load_views([0])
+        assert py["color"].shape == (1, 12, 12, 4)
+        from codenerf_tpu.data import native
+        if native.available():
+            nat = SRNDataset(str(root), "train").load_views([0])
+            np.testing.assert_allclose(nat["color"], py["color"], atol=1e-6)
+            np.testing.assert_allclose(nat["mask"], py["mask"], atol=1e-6)
