@@ -74,6 +74,13 @@ def select_ray_indices(key: jax.Array, num_pixels: int, sample_size: int,
 
     Returns: [B, S] int32 indices into the flattened H*W pixel axis.
     """
+    # The reference asserts this (ray_sampler.py:18); without the guard a
+    # too-large sample_size silently truncates to num_pixels rays and the
+    # shape error surfaces far downstream.
+    assert 0 < sample_size <= num_pixels, (
+        f"sample_size ({sample_size}) must be in (0, num_pixels="
+        f"{num_pixels}]; reduce nerf.ray_sampler.num_random_rays or use "
+        f"larger images")
     keys = jax.random.split(key, batch_size)
 
     def one(k):

@@ -44,9 +44,14 @@ def ssim(img0: jax.Array, img1: jax.Array, max_val: float = 1.0,
 
     mu0 = blur(img0)
     mu1 = blur(img1)
-    sigma00 = blur(img0 ** 2) - mu0 ** 2
-    sigma11 = blur(img1 ** 2) - mu1 ** 2
+    # Guard the moment estimates: blur(x^2) - mu^2 can go slightly negative
+    # from cancellation on near-flat regions, and the covariance must obey
+    # Cauchy-Schwarz, otherwise per-pixel SSIM can exceed 1.
+    sigma00 = jnp.maximum(blur(img0 ** 2) - mu0 ** 2, 0.0)
+    sigma11 = jnp.maximum(blur(img1 ** 2) - mu1 ** 2, 0.0)
     sigma01 = blur(img0 * img1) - mu0 * mu1
+    bound = jnp.sqrt(sigma00 * sigma11)
+    sigma01 = jnp.clip(sigma01, -bound, bound)
 
     c1 = (k1 * max_val) ** 2
     c2 = (k2 * max_val) ** 2

@@ -141,8 +141,8 @@ def validate(harness: Harness, params: dict, logger: MetricLogger,
     target_flat = target.reshape(-1, target.shape[-1])
     mse = float(jnp.mean((rgb - target_flat[..., :3]) ** 2))
     psnr = float(mse2psnr(jnp.asarray(mse)))
-    rgb_img = rgb.reshape(harness.height, harness.width, 3)
-    ssim_val = float(ssim(rgb_img, target[..., :3]))
+    rgb_img = jnp.clip(rgb.reshape(harness.height, harness.width, 3), 0.0, 1.0)
+    ssim_val = float(ssim(rgb_img, jnp.clip(target[..., :3], 0.0, 1.0)))
     out = {"loss": mse, "psnr": psnr, "ssim": ssim_val}
     if is_main_process():
         line = logger.log_scalars("val", iteration, out)

@@ -153,6 +153,11 @@ def _trunk_pallas(pts, per_ray, weights, b1_rows, *, S: int, T: int,
         out_specs=pl.BlockSpec((T, S, 4), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((R, S, 4), jnp.float32),
+        # "arbitrary" (sequential) grid semantics let Mosaic keep the
+        # constant-index weight blocks resident across grid steps instead
+        # of re-fetching them per tile
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
     )(pts, per_ray["zs1p"], per_ray["featp"], per_ray["sigp"],
       per_ray["dirp"], per_ray["zt1p"], b1_rows, *weight_list)
 

@@ -190,3 +190,10 @@ class TestSSIM:
         shifted = jnp.clip(img + 0.1, 0, 1)
         s = float(ssim(img, shifted))
         assert 0.5 < s < 0.999
+
+
+class TestRaySelectionGuard:
+    def test_oversized_sample_raises_clearly(self):
+        with pytest.raises(AssertionError, match="num_random_rays"):
+            select_ray_indices(jax.random.PRNGKey(0), num_pixels=100,
+                               sample_size=200, batch_size=1)

@@ -27,6 +27,14 @@ def main():
                         help="Call jax.distributed.initialize() (pod slices).")
     parser.add_argument("--platform", type=str, default=None,
                         help="Force a jax platform (e.g. cpu for smoke runs).")
+    # reference-CLI compatibility (reference train.py:193-196): the mesh is
+    # automatic here, so these only bound the device count / no-op
+    parser.add_argument("-g", "--gpus", type=int, default=0,
+                        help="Compat: cap the number of devices used "
+                             "(reference -g flag; 0 = all).")
+    parser.add_argument("--distributed", action="store_true",
+                        help="Compat no-op: data parallelism over all "
+                             "devices is automatic.")
     parser.add_argument("overrides", nargs="*",
                         help="Dotted config overrides, e.g. optimizer.lr=3e-4")
     args = parser.parse_args()
@@ -47,6 +55,10 @@ def main():
         cfg = dataclasses.replace(
             cfg, runtime=dataclasses.replace(
                 cfg.runtime, load_checkpoint=args.load_checkpoint))
+    if args.gpus:
+        cfg = dataclasses.replace(
+            cfg, runtime=dataclasses.replace(cfg.runtime,
+                                             num_devices=args.gpus))
 
     run_training(cfg, max_steps=args.max_steps)
 
