@@ -216,3 +216,43 @@ class TestWhiteBackground:
                           white_background=True)
         np.testing.assert_allclose(np.asarray(a.rgb), np.asarray(b.rgb),
                                    atol=1e-3)
+
+
+class TestSamplingEdgeCases:
+    def test_minimal_sample_counts(self):
+        # smallest legal configuration: 3 coarse (weights need S-2 >= 1)
+        z = jnp.broadcast_to(jnp.asarray(base_z_vals(3, 0.5, 2.0,
+                                                     "lindepth")), (2, 3))
+        ro, rd = jnp.zeros((2, 3)), jnp.ones((2, 3))
+        w = jnp.ones((2, 1))
+        pts, zu = sample_pdf(None, ro, rd, w, z, num_fine=1, perturb=False)
+        assert zu.shape == (2, 4)
+        assert np.isfinite(np.asarray(zu)).all()
+        assert (np.diff(np.asarray(zu), axis=-1) >= 0).all()
+
+    def test_two_sample_grid(self):
+        z = base_z_vals(2, 1.0, 2.0, "lindisp")
+        np.testing.assert_allclose(np.asarray(z), [1.0, 2.0], rtol=1e-6)
+
+    def test_degenerate_weights_all_equal(self):
+        # uniform weights must reproduce near-uniform fine samples
+        R, S, F = 3, 16, 32
+        z = jnp.broadcast_to(jnp.linspace(1.0, 2.0, S), (R, S))
+        w = jnp.ones((R, S - 2))
+        ro, rd = jnp.zeros((R, 3)), jnp.ones((R, 3))
+        _, zu = sample_pdf(None, ro, rd, w, z, num_fine=F, perturb=False)
+        zu = np.asarray(zu)
+        assert np.isfinite(zu).all()
+        # fine samples span the interior bins roughly uniformly
+        assert zu.min() >= 1.0 - 1e-5 and zu.max() <= 2.0 + 1e-5
+
+    def test_extreme_sigma_values_finite(self):
+        R, S = 2, 8
+        raw = np.zeros((R, S, 4), dtype=np.float32)
+        raw[..., 3] = 1e6  # extreme density logits
+        raw[..., :3] = -1e6
+        z = np.tile(np.linspace(1.0, 2.0, S, dtype=np.float32), (R, 1))
+        rd = np.ones((R, 3), dtype=np.float32)
+        out = volume_render(jnp.asarray(raw), jnp.asarray(z), jnp.asarray(rd))
+        for leaf in out:
+            assert np.isfinite(np.asarray(leaf)).all()
