@@ -10,7 +10,7 @@ each chunk's ray axis is sharded over the mesh; XLA inserts the gather.
 
 from __future__ import annotations
 
-from typing import Callable, Optional
+from typing import Callable
 
 import jax
 import jax.numpy as jnp

@@ -16,10 +16,9 @@ orbax CheckpointManager (keeps the latest few, async-safe).
 from __future__ import annotations
 
 from pathlib import Path
-from typing import Any, Optional
+from typing import Optional
 
 import jax
-import numpy as np
 import orbax.checkpoint as ocp
 
 from codenerf_tpu.train.state import TrainState

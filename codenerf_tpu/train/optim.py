@@ -13,7 +13,6 @@ from __future__ import annotations
 
 from typing import Callable
 
-import jax
 import optax
 
 

@@ -16,7 +16,7 @@ train_batch_size=1 (the 3080 configs) the two are identical.
 
 from __future__ import annotations
 
-from typing import Callable, NamedTuple, Optional
+from typing import Callable, NamedTuple
 
 import jax
 import jax.numpy as jnp

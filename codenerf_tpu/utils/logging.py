@@ -9,7 +9,6 @@ log-scraping habits survive.  All output is rank-0 gated via
 from __future__ import annotations
 
 import json
-import time
 from pathlib import Path
 from typing import Optional
 

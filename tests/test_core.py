@@ -197,3 +197,18 @@ class TestRaySelectionGuard:
         with pytest.raises(AssertionError, match="num_random_rays"):
             select_ray_indices(jax.random.PRNGKey(0), num_pixels=100,
                                sample_size=200, batch_size=1)
+
+
+class TestLieNearPi:
+    def test_so3_log_near_pi_branch(self):
+        """Rotations within 1e-3 of pi exercise the symmetric-part axis
+        recovery; the log is defined up to sign there."""
+        rng = np.random.default_rng(11)
+        for theta in [3.141, 3.1415, np.pi - 1e-5]:
+            axis = rng.normal(size=3)
+            axis = axis / np.linalg.norm(axis)
+            w = jnp.asarray(axis * theta)
+            w2 = np.asarray(lie.so3_log(lie.so3_exp(w)))
+            err = min(np.linalg.norm(w2 - np.asarray(w)),
+                      np.linalg.norm(w2 + np.asarray(w)))
+            assert err < 5e-4, (theta, err)
