@@ -165,6 +165,11 @@ class RuntimeConfig:
     # faster fwd+bwd (55.1k vs 48.1k rays/s); the kernel is kept for
     # forward-dominated workloads and further tuning.
     use_pallas: bool = False
+    # with use_pallas, also use the fused Pallas backward kernel (recompute
+    # fwd in VMEM + backprop in one kernel, f32 weight-grad accumulators
+    # carried across the sequential grid) instead of rematerializing
+    # through XLA
+    pallas_backward: bool = False
     # rematerialize MLP activations in the backward pass.  With the bf16
     # activation chain the stored stack (~9 x [R*S, hidden] bf16) fits HBM
     # at default batch sizes and storing beats recomputing (176.5k vs

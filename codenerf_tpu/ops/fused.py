@@ -21,10 +21,20 @@ conditioning) are computed OUTSIDE the kernel as [R, .] matmuls (see
 models/ray_structured.py for the factoring identity) and enter the kernel as
 per-ray bias rows, broadcast across the S samples in VMEM.
 
-Gradients: `make_fused_codenerf` attaches a custom VJP whose backward
-recomputes through the XLA ray-structured path — functionally identical
-(allclose-tested) and rematerialized, so the Pallas kernel only needs a
-forward implementation.
+Gradients — two modes:
+
+  * default: custom VJP whose backward recomputes through the XLA
+    ray-structured path — functionally identical (allclose-tested) and
+    rematerialized, so the Pallas kernel only needs a forward
+    implementation.
+  * ``pallas_backward=True``: a second Pallas kernel recomputes the whole
+    forward IN VMEM and backpropagates in the same kernel, emitting input
+    grads, per-ray conditioning grads (summed over the sample axis by an
+    MXU segment-sum matmul), and f32 weight-grad accumulators carried
+    across the sequential grid (init at tile 0, += thereafter).  The
+    fwd+bwd pair never materializes an inter-layer activation in HBM —
+    the lever PERF.md's roofline analysis identifies for the
+    HBM-bandwidth-bound layer chain.
 """
 
 from __future__ import annotations
@@ -162,13 +172,260 @@ def _trunk_pallas(pts, per_ray, weights, b1_rows, *, S: int, T: int,
       per_ray["dirp"], per_ray["zt1p"], b1_rows, *weight_list)
 
 
+def _trunk_bwd_kernel(pts_ref, zs1p_ref, featp_ref, sigp_ref, dirp_ref,
+                      zt1p_ref, b1_ref,
+                      w1x_ref, w1s_ref, w1c_ref, e_ref,
+                      w2_ref, wof_ref, wos_ref, wd_ref, wd2_ref, bd2_ref,
+                      wr_ref, g_ref,
+                      gpts_ref, gzs1p_ref, gfeatp_ref, gsigp_ref, gdirp_ref,
+                      gzt1p_ref, db1_ref, dw1x_ref, dw1s_ref, dw1c_ref,
+                      dw2_ref, dwof_ref, dwos_ref, dwd_ref, dwd2_ref,
+                      dbd2_ref, dwr_ref, *, S: int, compute_dtype,
+                      has_w1x: bool):
+    """Fused recompute-forward + backward for one ray tile.
+
+    Recomputes the §3.4 forward chain (reference nerf/__init__.py:94-134,
+    model.py:160-194) entirely in VMEM, then backpropagates the [T, S, 4]
+    cotangent through it.  Weight gradients accumulate in f32 output refs
+    revisited by every grid step (sequential "arbitrary" grid); per-ray
+    conditioning grads are summed over the S samples of each ray with a
+    single [T, T*S] segment-sum matmul on the MXU.
+    """
+    T = pts_ref.shape[0]
+    cd = compute_dtype
+    relu = jax.nn.relu
+
+    def mm(x, w):
+        return jnp.dot(x.astype(cd), w.astype(cd),
+                       preferred_element_type=jnp.float32).astype(cd)
+
+    def mm_t(g, w):
+        # g @ w^T (cotangent through y = x @ w), cd in / cd out
+        return jax.lax.dot_general(
+            g.astype(cd), w.astype(cd),
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(cd)
+
+    def d_w(x, g):
+        # x^T @ g with f32 accumulation (weight-grad contribution)
+        return jax.lax.dot_general(
+            x.astype(cd), g.astype(cd),
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    def rep(per_ray):
+        return jnp.broadcast_to(per_ray[:, None, :].astype(cd),
+                                (T, S, per_ray.shape[-1])
+                                ).reshape(T * S, per_ray.shape[-1])
+
+    # Segment-sum matrix: seg[r, i] = 1 iff row i belongs to ray r, so
+    # seg @ x == per-ray sum over the S samples — one small MXU matmul
+    # instead of a 3-D reshape+reduce (friendlier to Mosaic).
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (T, T * S), 0)
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, (T, T * S), 1)
+    seg_f32 = (col_ids // S == row_ids).astype(jnp.float32)
+    seg_cd = seg_f32.astype(cd)
+
+    def ray_sum_f32(x):
+        return jnp.dot(seg_f32, x, preferred_element_type=jnp.float32)
+
+    def ray_sum(x):
+        return jnp.dot(seg_cd, x.astype(cd),
+                       preferred_element_type=jnp.float32)
+
+    # ---- forward recompute (same math as _trunk_kernel) ----
+    pts = pts_ref[:].reshape(T * S, 3)
+    scaled = jnp.dot(pts, e_ref[:].astype(pts.dtype),
+                     preferred_element_type=jnp.float32)
+    sn, cs = jnp.sin(scaled), jnp.cos(scaled)
+    h1 = mm(sn, w1s_ref[:]) + mm(cs, w1c_ref[:])
+    if has_w1x:
+        h1 = h1 + mm(pts, w1x_ref[:])
+    h1 = relu(h1 + rep(b1_ref[:]))
+    h2 = relu(mm(h1, w2_ref[:]) + rep(zs1p_ref[:]))
+    feat = mm(h2, wof_ref[:]) + rep(featp_ref[:])
+    v1 = relu(mm(feat, wd_ref[:]) + rep(dirp_ref[:]))
+    v2 = relu(mm(v1, wd2_ref[:]) + bd2_ref[:].astype(cd))
+
+    # ---- backward ----
+    g = g_ref[:].reshape(T * S, 4)
+    g_rgb, g_sig = g[:, :3], g[:, 3:4]                    # f32
+
+    gzt1p_ref[:] = ray_sum_f32(g_rgb)
+    gsigp_ref[:] = ray_sum_f32(g_sig)
+
+    g_v2 = jnp.where(v2 > 0, mm_t(g_rgb, wr_ref[:]), 0)
+    g_v1 = jnp.where(v1 > 0, mm_t(g_v2, wd2_ref[:]), 0)
+    gdirp_ref[:] = ray_sum(g_v1)
+    g_feat = mm_t(g_v1, wd_ref[:])
+    gfeatp_ref[:] = ray_sum(g_feat)
+    g_h2 = jnp.where(h2 > 0,
+                     mm_t(g_feat, wof_ref[:]) + mm_t(g_sig, wos_ref[:]), 0)
+    gzs1p_ref[:] = ray_sum(g_h2)
+    g_h1 = jnp.where(h1 > 0, mm_t(g_h2, w2_ref[:]), 0)
+
+    g_sn = mm_t(g_h1, w1s_ref[:]).astype(jnp.float32)
+    g_cs = mm_t(g_h1, w1c_ref[:]).astype(jnp.float32)
+    g_scaled = g_sn * cs - g_cs * sn
+    g_pts = jnp.dot(g_scaled, e_ref[:].T.astype(jnp.float32),
+                    preferred_element_type=jnp.float32)
+    if has_w1x:
+        g_pts = g_pts + mm_t(g_h1, w1x_ref[:]).astype(jnp.float32)
+    gpts_ref[:] = g_pts.reshape(T, S, 3)
+
+    # ---- weight-grad accumulators (revisited across the grid) ----
+    acc = [(dw1s_ref, lambda: d_w(sn, g_h1)),
+           (dw1c_ref, lambda: d_w(cs, g_h1)),
+           (dw2_ref, lambda: d_w(h1, g_h2)),
+           (dwof_ref, lambda: d_w(h2, g_feat)),
+           (dwos_ref, lambda: d_w(h2, g_sig)),
+           (dwd_ref, lambda: d_w(feat, g_v1)),
+           (dwd2_ref, lambda: d_w(v1, g_v2)),
+           (dwr_ref, lambda: d_w(v2, g_rgb)),
+           (db1_ref, lambda: jnp.sum(g_h1.astype(jnp.float32), axis=0,
+                                     keepdims=True)),
+           (dbd2_ref, lambda: jnp.sum(g_v2.astype(jnp.float32), axis=0,
+                                      keepdims=True))]
+    if has_w1x:
+        acc.append((dw1x_ref, lambda: d_w(pts, g_h1)))
+
+    is_first = pl.program_id(0) == 0
+    for ref, contrib in acc:
+        val = contrib()
+
+        @pl.when(is_first)
+        def _(ref=ref, val=val):
+            ref[:] = val
+
+        @pl.when(jnp.logical_not(is_first))
+        def _(ref=ref, val=val):
+            ref[:] = ref[:] + val
+
+
+def _trunk_bwd_pallas(pts, per_ray, b1, weights, g, *, S: int, T: int,
+                      compute_dtype):
+    """pallas_call wrapper for the fused backward.
+
+    Returns (g_pts, g_per_ray dict, db1, dweights dict) — f32 grads for
+    everything except the nondifferentiable encode matrix E.
+    """
+    R = pts.shape[0]
+    h = b1.shape[0]
+    has_w1x = weights["w1x"] is not None
+
+    def ray_block(d):
+        return pl.BlockSpec((T, d), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+
+    def full(a):
+        return pl.BlockSpec(a.shape, lambda i: tuple(0 for _ in a.shape),
+                            memory_space=pltpu.VMEM)
+
+    def const_out(shape):
+        return (jax.ShapeDtypeStruct(shape, jnp.float32),
+                pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape),
+                             memory_space=pltpu.VMEM))
+
+    def tile_out(shape, block):
+        nd = len(block)
+        return (jax.ShapeDtypeStruct(shape, jnp.float32),
+                pl.BlockSpec(block,
+                             lambda i: (i,) + tuple(0 for _ in range(nd - 1)),
+                             memory_space=pltpu.VMEM))
+
+    w_names = (["w1x"] if has_w1x else []) + [
+        "w1s", "w1c", "E", "w2", "wof", "wos", "wd", "wd2", "bd2", "wr"]
+    weight_list = [weights[k] for k in w_names]
+
+    s_feat = per_ray["featp"].shape[-1]
+    outs = {
+        "g_pts": tile_out((R, S, 3), (T, S, 3)),
+        "gzs1p": tile_out((R, h), (T, h)),
+        "gfeatp": tile_out((R, s_feat), (T, s_feat)),
+        "gsigp": tile_out((R, 1), (T, 1)),
+        "gdirp": tile_out((R, h), (T, h)),
+        "gzt1p": tile_out((R, 3), (T, 3)),
+        "db1": const_out((1, h)),
+        "dw1s": const_out(weights["w1s"].shape),
+        "dw1c": const_out(weights["w1c"].shape),
+        "dw2": const_out(weights["w2"].shape),
+        "dwof": const_out(weights["wof"].shape),
+        "dwos": const_out(weights["wos"].shape),
+        "dwd": const_out(weights["wd"].shape),
+        "dwd2": const_out(weights["wd2"].shape),
+        "dbd2": const_out((1, weights["bd2"].shape[-1])),
+        "dwr": const_out(weights["wr"].shape),
+    }
+    if has_w1x:
+        outs["dw1x"] = const_out(weights["w1x"].shape)
+    out_order = ["g_pts", "gzs1p", "gfeatp", "gsigp", "gdirp", "gzt1p",
+                 "db1"] + (["dw1x"] if has_w1x else []) + [
+                 "dw1s", "dw1c", "dw2", "dwof", "dwos", "dwd", "dwd2",
+                 "dbd2", "dwr"]
+
+    if has_w1x:
+        kern = partial(_trunk_bwd_kernel, S=S, compute_dtype=compute_dtype,
+                       has_w1x=True)
+    else:
+        def kern(pts_ref, zs1p, featp, sigp, dirp, zt1p, b1r,
+                 w1s, w1c, e, w2, wof, wos, wd, wd2, bd2, wr, g_ref,
+                 gpts, gzs1p, gfeatp, gsigp, gdirp, gzt1p, db1,
+                 dw1s, dw1c, dw2, dwof, dwos, dwd, dwd2, dbd2, dwr):
+            return _trunk_bwd_kernel(
+                pts_ref, zs1p, featp, sigp, dirp, zt1p, b1r, None,
+                w1s, w1c, e, w2, wof, wos, wd, wd2, bd2, wr, g_ref,
+                gpts, gzs1p, gfeatp, gsigp, gdirp, gzt1p, db1, None,
+                dw1s, dw1c, dw2, dwof, dwos, dwd, dwd2, dbd2, dwr,
+                S=S, compute_dtype=compute_dtype, has_w1x=False)
+
+    in_specs = (
+        [pl.BlockSpec((T, S, 3), lambda i: (i, 0, 0),
+                      memory_space=pltpu.VMEM)]
+        + [ray_block(per_ray[k].shape[-1])
+           for k in ("zs1p", "featp", "sigp", "dirp", "zt1p")]
+        + [ray_block(h)]                  # b1 as broadcast per-ray rows
+        + [full(w) for w in weight_list]
+        + [pl.BlockSpec((T, S, 4), lambda i: (i, 0, 0),
+                        memory_space=pltpu.VMEM)])
+    b1_rows = jnp.broadcast_to(b1[None, :], (R, h))
+
+    results = pl.pallas_call(
+        kern,
+        grid=(R // T,),
+        in_specs=in_specs,
+        out_specs=tuple(outs[k][1] for k in out_order),
+        out_shape=tuple(outs[k][0] for k in out_order),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+    )(pts, per_ray["zs1p"], per_ray["featp"], per_ray["sigp"],
+      per_ray["dirp"], per_ray["zt1p"], b1_rows, *weight_list,
+      g.astype(jnp.float32))
+
+    named = dict(zip(out_order, results))
+    g_per_ray = {"zs1p": named["gzs1p"], "featp": named["gfeatp"],
+                 "sigp": named["gsigp"], "dirp": named["gdirp"],
+                 "zt1p": named["gzt1p"]}
+    dweights = {"w1s": named["dw1s"], "w1c": named["dw1c"],
+                "E": jnp.zeros_like(weights["E"]),
+                "w2": named["dw2"], "wof": named["dwof"],
+                "wos": named["dwos"], "wd": named["dwd"],
+                "wd2": named["dwd2"], "bd2": named["dbd2"][0],
+                "wr": named["dwr"],
+                "w1x": named["dw1x"] if has_w1x else None}
+    return named["g_pts"], g_per_ray, named["db1"][0], dweights
+
+
 def make_fused_codenerf(cfg: CodeNeRFConfig, num_freq_xyz: int,
                         include_input_xyz: bool, log_sampling_xyz: bool,
-                        tile_rows: int = 1024):
+                        tile_rows: int = 1024, pallas_backward: bool = False,
+                        tile_rows_bwd: int | None = None):
     # tile_rows=1024 keeps the kernel's VMEM stack (~9 MB at hidden=256)
     # under the 16 MB limit for any sample count; 2048 fits at S<=64 but
     # OOMs at S=128 (measured).
     """Build the fused apply with custom VJP.
+
+    pallas_backward selects the fully fused fwd+bwd kernel pair (module
+    docstring); otherwise the backward rematerializes through XLA.
 
     Returned signature:
       fused(params, pts [R,S,3], dir_enc [R,dd], z_s [R,C], z_t [R,C])
@@ -176,6 +433,16 @@ def make_fused_codenerf(cfg: CodeNeRFConfig, num_freq_xyz: int,
     """
     cd = cfg._cdtype or jnp.float32
     h = cfg.hidden_size
+    if tile_rows_bwd is None:
+        # the bwd kernel holds ~2x the fwd live set (activations + their
+        # cotangents), so default to half the rows per tile
+        tile_rows_bwd = max(tile_rows // 2, 128)
+
+    def pick_tile(R, S, rows):
+        T = max(1, rows // S)
+        while R % T != 0:
+            T -= 1
+        return T
 
     def per_ray_parts(params, dir_enc, z_s, z_t):
         relu = jax.nn.relu
@@ -198,14 +465,22 @@ def make_fused_codenerf(cfg: CodeNeRFConfig, num_freq_xyz: int,
         return {"zs1p": zs1p, "featp": featp, "sigp": sigp, "dirp": dirp,
                 "zt1p": zt1p}
 
-    def kernel_weights(params):
+    def kernel_weights(params, cast=True):
         w1x, w1s, w1c, b1 = _split_layer1(params, cfg)
         # pre-cast matrix weights to the compute dtype so per-tile weight
-        # DMA moves half the bytes (the in-kernel cast becomes a no-op)
-        wc = (lambda a: None if a is None else a.astype(cd))
+        # DMA moves half the bytes (the in-kernel cast becomes a no-op).
+        # The pallas-backward path skips the cast: weight-grad cotangents
+        # must stay f32 end-to-end (a bf16 primal would force bf16 grads),
+        # and the constant-index weight blocks are fetched once anyway.
+        if not cast:
+            wc = (lambda a: a)
+        else:
+            wc = (lambda a: None if a is None else a.astype(cd))
         return {
             "w1x": wc(w1x), "w1s": wc(w1s), "w1c": wc(w1c), "b1": b1,
-            "E": _encode_matrix(num_freq_xyz, log_sampling_xyz).astype(cd),
+            "E": (_encode_matrix(num_freq_xyz, log_sampling_xyz).astype(cd)
+                  if cast else _encode_matrix(num_freq_xyz,
+                                              log_sampling_xyz)),
             "w2": wc(params["layer_xyz2"]["w"][:h]),
             "wof": wc(params["fc_out"]["w"][:h][:, 1:]),
             "wos": wc(params["fc_out"]["w"][:h][:, :1]),
@@ -217,9 +492,7 @@ def make_fused_codenerf(cfg: CodeNeRFConfig, num_freq_xyz: int,
 
     def forward(params, pts, dir_enc, z_s, z_t):
         R, S = pts.shape[0], pts.shape[1]
-        T = max(1, tile_rows // S)
-        while R % T != 0:
-            T -= 1
+        T = pick_tile(R, S, tile_rows)
         per_ray = per_ray_parts(params, dir_enc, z_s, z_t)
         weights = kernel_weights(params)
         b1_rows = jnp.broadcast_to(weights["b1"], (R, h))
@@ -230,6 +503,46 @@ def make_fused_codenerf(cfg: CodeNeRFConfig, num_freq_xyz: int,
         xyz_enc = positional_encoding(pts, num_freq_xyz, include_input_xyz,
                                       log_sampling_xyz)
         return apply_codenerf_rays(params, cfg, xyz_enc, dir_enc, z_s, z_t)
+
+    if pallas_backward:
+        # custom VJP at the kernel boundary: the pallas bwd kernel emits
+        # grads for pts, the per-ray conditioning rows, b1 and the trunk
+        # weights; JAX autodiff composes them through per_ray_parts /
+        # kernel_weights (plain traceable slicing + matmuls) back to the
+        # parameter pytree and codes.
+        @jax.custom_vjp
+        def trunk_op(pts, per_ray, b1, weights):
+            R, S = pts.shape[0], pts.shape[1]
+            T = pick_tile(R, S, tile_rows)
+            b1_rows = jnp.broadcast_to(b1[None, :], (R, h))
+            return _trunk_pallas(pts, per_ray, weights, b1_rows, S=S, T=T,
+                                 compute_dtype=cd)
+
+        def trunk_fwd(pts, per_ray, b1, weights):
+            return trunk_op(pts, per_ray, b1, weights), (pts, per_ray, b1,
+                                                         weights)
+
+        def trunk_bwd(res, g):
+            pts, per_ray, b1, weights = res
+            R, S = pts.shape[0], pts.shape[1]
+            T = pick_tile(R, S, tile_rows_bwd)
+            g_pts, g_per_ray, db1, dweights = _trunk_bwd_pallas(
+                pts, per_ray, b1, weights, g, S=S, T=T, compute_dtype=cd)
+            dweights["b1"] = jnp.zeros_like(weights["b1"])  # unused copy
+            if weights["w1x"] is None:
+                dweights["w1x"] = None
+            return g_pts, g_per_ray, db1, dweights
+
+        trunk_op.defvjp(trunk_fwd, trunk_bwd)
+
+        def fused(params, pts, dir_enc, z_s, z_t):
+            per_ray = per_ray_parts(params, dir_enc, z_s, z_t)
+            weights = kernel_weights(params, cast=False)
+            b1 = weights["b1"]
+            return trunk_op(pts, per_ray, b1, weights)
+
+        fused.xla_reference = xla_reference
+        return fused
 
     @jax.custom_vjp
     def fused(params, pts, dir_enc, z_s, z_t):

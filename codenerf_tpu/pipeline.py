@@ -91,6 +91,7 @@ class RenderSettings:
     white_background: bool = False
     remat: bool = False
     use_pallas: bool = False
+    pallas_backward: bool = False
 
     @staticmethod
     def from_config(cfg: Config, compute_dtype: Optional[str] = None
@@ -120,6 +121,7 @@ class RenderSettings:
             white_background=cfg.nerf.white_background,
             remat=cfg.runtime.remat,
             use_pallas=cfg.runtime.use_pallas,
+            pallas_backward=cfg.runtime.pallas_backward,
         )
 
 
@@ -145,10 +147,12 @@ def encode_inputs(settings: RenderSettings, pts: jax.Array, rd: jax.Array):
 
 
 @functools.lru_cache(maxsize=32)
-def _get_fused(model_cfg, num_freq, include_input, log_sampling):
+def _get_fused(model_cfg, num_freq, include_input, log_sampling,
+               pallas_backward=False):
     from codenerf_tpu.ops.fused import make_fused_codenerf
     return make_fused_codenerf(model_cfg, num_freq, include_input,
-                               log_sampling)
+                               log_sampling,
+                               pallas_backward=pallas_backward)
 
 
 def _pallas_active(settings, model_cfg) -> bool:
@@ -172,7 +176,8 @@ def _forward(params, model_cfg, settings, pts, rd, z_s, z_t):
                                       settings.log_sampling_dir)
         fused = _get_fused(model_cfg, settings.num_encoding_fn_xyz,
                            settings.include_input_xyz,
-                           settings.log_sampling_xyz)
+                           settings.log_sampling_xyz,
+                           settings.pallas_backward)
         return fused(params, pts, dir_enc, z_s, z_t)
     xyz_enc, dir_enc = encode_inputs(settings, pts, rd)
     if isinstance(model_cfg, CodeNeRFConfig):
