@@ -21,7 +21,8 @@ ESTIMATED_REFERENCE_RAYS_PER_SEC = 100_000.0
 
 def run_bench(num_rays: int = 8192, hidden: int = 256, code: int = 256,
               num_coarse: int = 64, num_fine: int = 64, steps: int = 20,
-              compute_dtype: str = "bfloat16") -> dict:
+              compute_dtype: str = "bfloat16", use_pallas: bool = False,
+              pallas_backward: bool = False) -> dict:
     import jax
     from codenerf_tpu.utils.cache import enable_compilation_cache
     enable_compilation_cache()
@@ -48,7 +49,9 @@ def run_bench(num_rays: int = 8192, hidden: int = 256, code: int = 256,
             num_coarse=num_coarse, num_fine=num_fine,
             near_limit=0.8, far_limit=1.8, spacing_mode="lindepth",
             perturb=True)),
-        runtime=RuntimeConfig(compute_dtype=compute_dtype),
+        runtime=RuntimeConfig(compute_dtype=compute_dtype,
+                              use_pallas=use_pallas,
+                              pallas_backward=pallas_backward),
     )
     settings = RenderSettings.from_config(cfg)
 
@@ -103,4 +106,14 @@ def run_bench(num_rays: int = 8192, hidden: int = 256, code: int = 256,
 
 
 if __name__ == "__main__":
-    print(json.dumps(run_bench()))
+    import argparse
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--pallas", action="store_true",
+                    help="fused Pallas forward trunk")
+    ap.add_argument("--pallas-bwd", action="store_true",
+                    help="fused Pallas fwd+bwd kernel pair")
+    ap.add_argument("--rays", type=int, default=8192)
+    a = ap.parse_args()
+    print(json.dumps(run_bench(num_rays=a.rays,
+                               use_pallas=a.pallas or a.pallas_bwd,
+                               pallas_backward=a.pallas_bwd)))

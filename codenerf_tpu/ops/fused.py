@@ -97,9 +97,16 @@ def _trunk_kernel(pts_ref, zs1p_ref, featp_ref, sigp_ref, dirp_ref,
                                 (T, S, per_ray.shape[-1])
                                 ).reshape(T * S, per_ray.shape[-1])
 
+    # The encode matmul must run at HIGHEST precision: at the MXU's
+    # default (bf16-truncated) input precision the high-frequency bands
+    # (f up to 2^(F-1)) acquire O(f * eps_bf16) = O(1 rad) phase error
+    # and sin/cos decorrelate entirely (measured: 2.8 abs error at
+    # default vs 7e-5 at HIGHEST for f<=512).
     pts = pts_ref[:].reshape(T * S, 3)
-    scaled = jnp.dot(pts, e_ref[:].astype(pts.dtype),
-                     preferred_element_type=jnp.float32)        # [T*S, 3F]
+    scaled = jax.lax.dot_general(
+        pts, e_ref[:].astype(pts.dtype), (((1,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32)                     # [T*S, 3F]
     h = mm(jnp.sin(scaled), w1s_ref[:]) + mm(jnp.cos(scaled), w1c_ref[:])
     if has_w1x:
         h = h + mm(pts, w1x_ref[:])
@@ -234,9 +241,13 @@ def _trunk_bwd_kernel(pts_ref, zs1p_ref, featp_ref, sigp_ref, dirp_ref,
                        preferred_element_type=jnp.float32)
 
     # ---- forward recompute (same math as _trunk_kernel) ----
+    # HIGHEST precision on the encode matmul: see _trunk_kernel — default
+    # MXU input truncation puts O(1 rad) phase error on the high bands.
     pts = pts_ref[:].reshape(T * S, 3)
-    scaled = jnp.dot(pts, e_ref[:].astype(pts.dtype),
-                     preferred_element_type=jnp.float32)
+    scaled = jax.lax.dot_general(
+        pts, e_ref[:].astype(pts.dtype), (((1,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32)
     sn, cs = jnp.sin(scaled), jnp.cos(scaled)
     h1 = mm(sn, w1s_ref[:]) + mm(cs, w1c_ref[:])
     if has_w1x:
@@ -247,6 +258,11 @@ def _trunk_bwd_kernel(pts_ref, zs1p_ref, featp_ref, sigp_ref, dirp_ref,
     v1 = relu(mm(feat, wd_ref[:]) + rep(dirp_ref[:]))
     v2 = relu(mm(v1, wd2_ref[:]) + bd2_ref[:].astype(cd))
 
+    def live(act):
+        # relu mask; the compare runs in f32 — Mosaic on v5e rejects bf16
+        # vector cmpf
+        return act.astype(jnp.float32) > 0
+
     # ---- backward ----
     g = g_ref[:].reshape(T * S, 4)
     g_rgb, g_sig = g[:, :3], g[:, 3:4]                    # f32
@@ -254,21 +270,25 @@ def _trunk_bwd_kernel(pts_ref, zs1p_ref, featp_ref, sigp_ref, dirp_ref,
     gzt1p_ref[:] = ray_sum_f32(g_rgb)
     gsigp_ref[:] = ray_sum_f32(g_sig)
 
-    g_v2 = jnp.where(v2 > 0, mm_t(g_rgb, wr_ref[:]), 0)
-    g_v1 = jnp.where(v1 > 0, mm_t(g_v2, wd2_ref[:]), 0)
+    g_v2 = jnp.where(live(v2), mm_t(g_rgb, wr_ref[:]), 0)
+    g_v1 = jnp.where(live(v1), mm_t(g_v2, wd2_ref[:]), 0)
     gdirp_ref[:] = ray_sum(g_v1)
     g_feat = mm_t(g_v1, wd_ref[:])
     gfeatp_ref[:] = ray_sum(g_feat)
-    g_h2 = jnp.where(h2 > 0,
+    g_h2 = jnp.where(live(h2),
                      mm_t(g_feat, wof_ref[:]) + mm_t(g_sig, wos_ref[:]), 0)
     gzs1p_ref[:] = ray_sum(g_h2)
-    g_h1 = jnp.where(h1 > 0, mm_t(g_h2, w2_ref[:]), 0)
+    g_h1 = jnp.where(live(h1), mm_t(g_h2, w2_ref[:]), 0)
 
     g_sn = mm_t(g_h1, w1s_ref[:]).astype(jnp.float32)
     g_cs = mm_t(g_h1, w1c_ref[:]).astype(jnp.float32)
     g_scaled = g_sn * cs - g_cs * sn
-    g_pts = jnp.dot(g_scaled, e_ref[:].T.astype(jnp.float32),
-                    preferred_element_type=jnp.float32)
+    # HIGHEST: the band factors (up to 2^(F-1)) amplify default-precision
+    # rounding under cross-band cancellation in the pts cotangent
+    g_pts = jax.lax.dot_general(
+        g_scaled, e_ref[:].astype(jnp.float32), (((1,), (1,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32)
     if has_w1x:
         g_pts = g_pts + mm_t(g_h1, w1x_ref[:]).astype(jnp.float32)
     gpts_ref[:] = g_pts.reshape(T, S, 3)
@@ -439,10 +459,24 @@ def make_fused_codenerf(cfg: CodeNeRFConfig, num_freq_xyz: int,
         tile_rows_bwd = max(tile_rows // 2, 128)
 
     def pick_tile(R, S, rows):
-        T = max(1, rows // S)
-        while R % T != 0:
-            T -= 1
-        return T
+        """Ray-tile size T: Mosaic requires the [T, d] per-ray blocks'
+        sublane dim be a multiple of 8 (f32) or the full array, so prefer
+        the largest multiple-of-8 divisor of R with T*S <= rows; fall back
+        to the TPU-legal minimum T=8 (slightly over the rows budget), then
+        to any divisor (tiny inputs / interpret mode, where T=R makes the
+        block the full array)."""
+        cap = max(1, rows // S)
+        t = min(cap, R) // 8 * 8
+        while t >= 8:
+            if R % t == 0:
+                return t
+            t -= 8
+        if R % 8 == 0:
+            return 8
+        t = min(cap, R)
+        while R % t != 0:
+            t -= 1
+        return t
 
     def per_ray_parts(params, dir_enc, z_s, z_t):
         relu = jax.nn.relu
