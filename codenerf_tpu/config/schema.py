@@ -175,6 +175,11 @@ class RuntimeConfig:
     # at default batch sizes and storing beats recomputing (176.5k vs
     # 143.6k rays/s measured); enable for very large ray batches / models.
     remat: bool = False
+    # walk the ray batch in this many lax.map chunks inside the jitted
+    # train step (TPU-native chunksize: same loss/gradient as unchunked,
+    # but the render body compiles once per chunk shape — cuts compile
+    # time and activation memory for very large ray batches).  1 = off.
+    ray_chunks: int = 1
     # when set, capture a jax.profiler trace of a few steady-state train
     # steps into this directory (view with tensorboard / xprof)
     profile_dir: str = ""

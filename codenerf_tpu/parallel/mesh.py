@@ -37,6 +37,19 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def shard_chunked_rays(mesh: Optional[Mesh], *arrays):
+    """Constrain [C, Rc, ...] chunked ray arrays: rays sharded on axis 1,
+    the lax.map chunk axis replicated (every device walks the chunks in
+    lockstep on its own ray shard)."""
+    if mesh is None or mesh.size == 1:
+        return arrays if len(arrays) > 1 else arrays[0]
+    out = tuple(
+        jax.lax.with_sharding_constraint(
+            a, NamedSharding(mesh, P(None, DATA_AXIS)))
+        for a in arrays)
+    return out if len(out) > 1 else out[0]
+
+
 def shard_rays(mesh: Optional[Mesh], *arrays):
     """Constrain [R, ...] arrays to be sharded over the ray axis.
 

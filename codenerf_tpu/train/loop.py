@@ -51,7 +51,8 @@ def run_training(cfg: Config, max_steps: Optional[int] = None,
         regularizer_lambda=cfg.experiment.regularizer_lambda,
         perturb=cfg.nerf.point_sampler.perturb,
         mesh=harness.mesh,
-        use_checkify=cfg.runtime.checkify)
+        use_checkify=cfg.runtime.checkify,
+        ray_chunks=cfg.runtime.ray_chunks)
 
     # One step here consumes a full image batch (the reference's chunk loop
     # collapsed into a single SPMD program) -> the outer-iteration count is

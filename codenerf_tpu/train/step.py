@@ -69,7 +69,8 @@ def gather_ray_batch(directions: jax.Array, pose: jax.Array,
 
 def make_train_step(settings: RenderSettings, optimizer, num_random_rays: int,
                     regularizer_lambda: float, perturb: bool,
-                    mesh=None, use_checkify: bool = False) -> Callable:
+                    mesh=None, use_checkify: bool = False,
+                    ray_chunks: int = 1) -> Callable:
     """Build the jitted train step.
 
     Returned signature:
@@ -79,17 +80,20 @@ def make_train_step(settings: RenderSettings, optimizer, num_random_rays: int,
     carries NaN/inf guards (jax.experimental.checkify float checks — the
     TPU-native stand-in for torch's set_detect_anomaly, SURVEY §5) and
     raises host-side on the first bad value.
+
+    ray_chunks > 1 walks the ray batch in lax.map chunks INSIDE the jit —
+    the TPU-native form of the reference's ``chunksize`` minibatching
+    (util.py:230-235, train.py:84-86): the render body is traced and
+    compiled once per chunk shape instead of for the full batch, cutting
+    compile time and activation memory for very large ray batches.  The
+    loss (and therefore the gradient and the optimizer step) is identical
+    to the unchunked computation — unlike the reference, which takes one
+    optimizer step per chunk.
     """
     has_codes = settings.coarse_cfg.__class__.__name__ == "CodeNeRFConfig"
 
-    def loss_fn(params, directions, pose, pixels, object_ids, key):
-        k_sel, k_render = jax.random.split(key)
-        ro, rd, target, ids = gather_ray_batch(
-            directions, pose, pixels, object_ids, k_sel, num_random_rays)
-        # SPMD: split the ray axis across the mesh (data parallelism over
-        # rays — the pjit analog of DDP over ray batches, SURVEY §2.1 DP-1).
-        ro, rd, target, ids = shard_rays(mesh, ro, rd, target, ids)
-
+    def render_losses(params, ro, rd, target, ids, k_render):
+        """Sum of squared residuals over one ray slab (coarse, fine)."""
         if has_codes:
             z_s, z_t = lookup_codes(params["codes"], ids)
         else:
@@ -97,10 +101,45 @@ def make_train_step(settings: RenderSettings, optimizer, num_random_rays: int,
         out_c, out_f = render_rays(
             {"coarse": params["coarse"], "fine": params["fine"]},
             settings, ro, rd, z_s, z_t, k_render, perturb)
+        return (jnp.sum((out_c.rgb - target[..., :3]) ** 2),
+                jnp.sum((out_f.rgb - target[..., :3]) ** 2))
+
+    def loss_fn(params, directions, pose, pixels, object_ids, key):
+        k_sel, k_render = jax.random.split(key)
+        ro, rd, target, ids = gather_ray_batch(
+            directions, pose, pixels, object_ids, k_sel, num_random_rays)
+        R = ro.shape[0]
+
+        if ray_chunks > 1:
+            if R % ray_chunks:
+                raise ValueError(
+                    f"ray batch {R} not divisible by ray_chunks="
+                    f"{ray_chunks}")
+            from codenerf_tpu.parallel.mesh import shard_chunked_rays
+            rc = R // ray_chunks
+
+            def chunked(a):
+                return a.reshape(ray_chunks, rc, *a.shape[1:])
+
+            ro, rd, target, ids = shard_chunked_rays(
+                mesh, *map(chunked, (ro, rd, target, ids)))
+            keys = jax.random.split(k_render, ray_chunks)
+            ss_c, ss_f = jax.lax.map(
+                lambda args: render_losses(params, *args),
+                (ro, rd, target, ids, keys))
+            loss_c = jnp.sum(ss_c) / (R * 3)
+            loss_f = jnp.sum(ss_f) / (R * 3)
+        else:
+            # SPMD: split the ray axis across the mesh (data parallelism
+            # over rays — the pjit analog of DDP over ray batches,
+            # SURVEY §2.1 DP-1).
+            ro, rd, target, ids = shard_rays(mesh, ro, rd, target, ids)
+            ss_c, ss_f = render_losses(params, ro, rd, target, ids,
+                                       k_render)
+            loss_c = ss_c / (R * 3)
+            loss_f = ss_f / (R * 3)
 
         # Losses per reference train.py:103-108.
-        loss_c = jnp.mean((out_c.rgb - target[..., :3]) ** 2)
-        loss_f = jnp.mean((out_f.rgb - target[..., :3]) ** 2)
         if has_codes and regularizer_lambda > 0:
             ns, nt = code_table_norms(params["codes"])
             loss_e = regularizer_lambda * (ns + nt)

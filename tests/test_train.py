@@ -143,6 +143,44 @@ class TestTrainStep:
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=1e-3, atol=1e-5)
 
+    @pytest.mark.parametrize("mesh_on", [False, True])
+    def test_ray_chunks_match_unchunked(self, mesh_on):
+        """lax.map ray chunking must compute the same loss and the same
+        updated parameters as one unchunked pass (with perturb=False so the
+        chunked render keys don't matter)."""
+        cfg = tiny_config()
+        settings = RenderSettings.from_config(cfg)
+        key = jax.random.PRNGKey(7)
+        state0, optimizer = init_train_state(key, cfg, settings,
+                                             num_objects=2)
+        dirs, poses, pixels, ids = make_batch(seed=7)
+        mesh = make_mesh() if mesh_on else None
+
+        step_whole = make_train_step(settings, optimizer, 32, 1e-5, False,
+                                     mesh=mesh)
+        step_chunked = make_train_step(settings, optimizer, 32, 1e-5, False,
+                                       mesh=mesh, ray_chunks=4)
+        k = jax.random.PRNGKey(8)
+        state1, m1 = step_whole(state0, dirs, poses, pixels, ids, k)
+        state0b, _ = init_train_state(key, cfg, settings, num_objects=2)
+        state2, m2 = step_chunked(state0b, dirs, poses, pixels, ids, k)
+        assert float(m1.loss) == pytest.approx(float(m2.loss), rel=1e-5)
+        for a, b in zip(jax.tree.leaves(state1.params),
+                        jax.tree.leaves(state2.params)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-3, atol=1e-5)
+
+    def test_ray_chunks_indivisible_raises(self):
+        cfg = tiny_config()
+        settings = RenderSettings.from_config(cfg)
+        state0, optimizer = init_train_state(jax.random.PRNGKey(0), cfg,
+                                             settings, num_objects=2)
+        dirs, poses, pixels, ids = make_batch()
+        step = make_train_step(settings, optimizer, 32, 1e-5, True,
+                               ray_chunks=7)  # 64 rays % 7 != 0
+        with pytest.raises(ValueError, match="ray_chunks"):
+            step(state0, dirs, poses, pixels, ids, jax.random.PRNGKey(1))
+
 
 class TestCheckpoint:
     def test_roundtrip_preserves_step_and_params(self, tmp_path):
