@@ -161,9 +161,10 @@ class RuntimeConfig:
     # 'float32' for strict parity, 'bfloat16' for MXU speed-of-light matmuls.
     compute_dtype: str = "bfloat16"
     # use the fused Pallas ray-march trunk kernel for CodeNeRF on TPU.
-    # Default off: the XLA ray-structured + remat path currently measures
-    # faster fwd+bwd (55.1k vs 48.1k rays/s); the kernel is kept for
-    # forward-dominated workloads and further tuning.
+    # Default off: the XLA ray-structured path measures faster fwd+bwd at
+    # hidden=256 (176.5k rays/s vs 130.1k for the fused fwd+bwd pair —
+    # PERF.md); the kernels are kept for larger models, where activation
+    # traffic grows faster than the fused pair's recompute overhead.
     use_pallas: bool = False
     # with use_pallas, also use the fused Pallas backward kernel (recompute
     # fwd in VMEM + backprop in one kernel, f32 weight-grad accumulators
