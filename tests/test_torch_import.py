@@ -1,0 +1,182 @@
+"""Reference torch checkpoint import: weights must round-trip into our
+pytrees so outputs match the torch model exactly, and the Orbax conversion
+must be loadable by the standard restore path."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from codenerf_tpu.models import (
+    CodeNeRFConfig, FlexibleNeRFConfig, apply_codenerf, apply_flexible_nerf,
+    lookup_codes,
+)
+from codenerf_tpu.train.torch_import import (
+    codenerf_params_from_torch, flexible_params_from_torch, codes_from_torch,
+    params_from_torch_checkpoint, import_torch_checkpoint,
+)
+from tests.reference_loader import load_reference_module
+
+
+def _ref_models(hidden=32, code=16, seed=0):
+    import torch
+    torch.manual_seed(seed)
+    model_mod = load_reference_module(
+        "ref_model", "view_synthesis/models/model.py")
+    kw = dict(hidden_size=hidden, shape_code_size=code,
+              texture_code_size=code, num_encoding_fn_xyz=6,
+              num_encoding_fn_dir=4)
+    coarse = model_mod.CodeNeRFModel(**kw)
+    fine = model_mod.CodeNeRFModel(**kw)
+    emb = model_mod.ShapeTextureEmbedding(5, code, code)
+    return coarse, fine, emb
+
+
+class TestStateDictConversion:
+    def test_codenerf_outputs_match_torch(self):
+        import torch
+        coarse, _, _ = _ref_models()
+        cfg = CodeNeRFConfig(hidden_size=32, shape_code_size=16,
+                             texture_code_size=16, num_encoding_fn_xyz=6,
+                             num_encoding_fn_dir=4)
+        params = codenerf_params_from_torch(coarse.state_dict())
+
+        rng = np.random.default_rng(0)
+        x = rng.normal(size=(9, cfg.dim_xyz + cfg.dim_dir)).astype(np.float32)
+        z_s = rng.normal(size=(9, 16)).astype(np.float32)
+        z_t = rng.normal(size=(9, 16)).astype(np.float32)
+        want = coarse(torch.from_numpy(z_s), torch.from_numpy(z_t),
+                      torch.from_numpy(x)).detach().numpy()
+        got = apply_codenerf(params, cfg, jnp.asarray(x), jnp.asarray(z_s),
+                             jnp.asarray(z_t))
+        np.testing.assert_allclose(np.asarray(got), want, rtol=1e-5,
+                                   atol=1e-6)
+
+    def test_ddp_module_prefix_stripped(self):
+        coarse, _, _ = _ref_models(seed=1)
+        sd = {f"module.{k}": v for k, v in coarse.state_dict().items()}
+        params = codenerf_params_from_torch(sd)
+        np.testing.assert_array_equal(
+            np.asarray(params["layer_xyz1"]["b"]),
+            coarse.state_dict()["layer_xyz1.bias"].numpy())
+
+    def test_flexible_with_viewdirs(self):
+        import torch
+        torch.manual_seed(2)
+        model_mod = load_reference_module(
+            "ref_model", "view_synthesis/models/model.py")
+        ref = model_mod.FlexibleNeRFModel(
+            num_layers=4, hidden_size=32, skip_connect_ids=[2],
+            num_encoding_fn_xyz=6, num_encoding_fn_dir=4, use_viewdirs=True)
+        cfg = FlexibleNeRFConfig(num_layers=4, hidden_size=32,
+                                 skip_connect_ids=(2,), num_encoding_fn_xyz=6,
+                                 num_encoding_fn_dir=4, use_viewdirs=True)
+        params = flexible_params_from_torch(ref.state_dict())
+        rng = np.random.default_rng(3)
+        x = rng.normal(size=(7, cfg.dim_xyz + cfg.dim_dir)).astype(np.float32)
+        want = ref(torch.from_numpy(x)).detach().numpy()
+        got = apply_flexible_nerf(params, cfg, jnp.asarray(x))
+        np.testing.assert_allclose(np.asarray(got), want, rtol=1e-5,
+                                   atol=1e-6)
+
+    def test_code_tables(self):
+        _, _, emb = _ref_models(seed=4)
+        codes = codes_from_torch(emb.state_dict())
+        ids = jnp.asarray([0, 3, 1])
+        z_s, z_t = lookup_codes(codes, ids)
+        import torch
+        ws, wt = emb(torch.tensor([0, 3, 1]))
+        np.testing.assert_allclose(np.asarray(z_s), ws.detach().numpy())
+        np.testing.assert_allclose(np.asarray(z_t), wt.detach().numpy())
+
+
+class TestFullCheckpointImport:
+    def _save_reference_ckpt(self, path, seed=5):
+        """Write a checkpoint in the exact reference format
+        (train.py:130-136)."""
+        import torch
+        coarse, fine, emb = _ref_models(seed=seed)
+        torch.save({
+            "iter": 1234,
+            "model_nerf_coarse_state_dict": coarse.state_dict(),
+            "model_nerf_fine_state_dict": fine.state_dict(),
+            "model_embedding_state_dict": emb.state_dict(),
+            "optimizer_state_dict": {},
+        }, path)
+        return coarse, fine, emb
+
+    def test_params_and_step(self, tmp_path):
+        import torch
+        p = tmp_path / "checkpoint 1234.ckpt"
+        coarse, _, emb = self._save_reference_ckpt(p)
+        ckpt = torch.load(p, map_location="cpu", weights_only=False)
+        params, step = params_from_torch_checkpoint(ckpt)
+        assert step == 1234
+        assert set(params) == {"coarse", "fine", "codes"}
+        np.testing.assert_allclose(
+            np.asarray(params["codes"]["shape"]),
+            emb.shape_embedding.weight.detach().numpy())
+
+    def test_orbax_roundtrip_through_standard_restore(self, tmp_path):
+        from codenerf_tpu.config.schema import (
+            Config, ModelsConfig, ModelSpec, EmbeddingSpec, NerfConfig,
+            PointSamplerConfig, EmbedderConfig)
+        from codenerf_tpu.pipeline import RenderSettings
+        from codenerf_tpu.train import init_train_state, checkpoint
+
+        p = tmp_path / "ref.ckpt"
+        self._save_reference_ckpt(p, seed=6)
+        cfg = Config(
+            models=ModelsConfig(
+                nerf_coarse=ModelSpec(type="CodeNeRFModel", hidden_size=32),
+                nerf_fine=ModelSpec(type="CodeNeRFModel", hidden_size=32),
+                embedding=EmbeddingSpec(shape_code_size=16,
+                                        texture_code_size=16)),
+            nerf=NerfConfig(
+                point_sampler=PointSamplerConfig(num_coarse=8, num_fine=8,
+                                                 near_limit=0.8,
+                                                 far_limit=1.8),
+                embedder=EmbedderConfig(num_encoding_fn_xyz=6,
+                                        num_encoding_fn_dir=4)),
+        )
+        settings = RenderSettings.from_config(cfg)
+        out = tmp_path / "orbax"
+        step = import_torch_checkpoint(str(p), cfg, settings, str(out))
+        assert step == 1234
+
+        fresh, _ = init_train_state(jax.random.PRNGKey(9), cfg, settings,
+                                    num_objects=5)
+        restored = checkpoint.restore_checkpoint(out, fresh)
+        assert int(restored.step) == 1234
+        import torch
+        ckpt = torch.load(p, map_location="cpu", weights_only=False)
+        want, _ = params_from_torch_checkpoint(ckpt)
+        for a, b in zip(jax.tree.leaves(restored.params),
+                        jax.tree.leaves(want)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_shape_mismatch_raises(self, tmp_path):
+        from codenerf_tpu.config.schema import (
+            Config, ModelsConfig, ModelSpec, EmbeddingSpec, NerfConfig,
+            PointSamplerConfig, EmbedderConfig)
+        from codenerf_tpu.pipeline import RenderSettings
+
+        p = tmp_path / "ref.ckpt"
+        self._save_reference_ckpt(p, seed=7)
+        cfg = Config(
+            models=ModelsConfig(
+                nerf_coarse=ModelSpec(type="CodeNeRFModel", hidden_size=64),
+                nerf_fine=ModelSpec(type="CodeNeRFModel", hidden_size=64),
+                embedding=EmbeddingSpec(shape_code_size=16,
+                                        texture_code_size=16)),
+            nerf=NerfConfig(
+                point_sampler=PointSamplerConfig(num_coarse=8, num_fine=8,
+                                                 near_limit=0.8,
+                                                 far_limit=1.8),
+                embedder=EmbedderConfig(num_encoding_fn_xyz=6,
+                                        num_encoding_fn_dir=4)),
+        )
+        settings = RenderSettings.from_config(cfg)
+        with pytest.raises(ValueError, match="shape mismatch"):
+            import_torch_checkpoint(str(p), cfg, settings,
+                                    str(tmp_path / "o2"))
