@@ -98,6 +98,103 @@ def params_from_torch_checkpoint(ckpt: Mapping[str, Any],
     return params, int(ckpt.get("iter", 0))
 
 
+def _torch_linear_sd(out, name, params):
+    import torch
+    out[f"{name}.weight"] = torch.from_numpy(
+        np.asarray(params["w"]).T.copy())
+    out[f"{name}.bias"] = torch.from_numpy(np.asarray(params["b"]).copy())
+
+
+def codenerf_state_dict(params: dict) -> dict:
+    """Our CodeNeRF param pytree -> reference torch state dict (inverse of
+    codenerf_params_from_torch)."""
+    out = {}
+    for name in ["layer_xyz1", "layer_xyz2", "fc_out", "shape_code_layer1",
+                 "shape_code_layer2", "texture_code_layer1", "layer_dir1",
+                 "layer_dir2", "fc_rgb"]:
+        _torch_linear_sd(out, name, params[name])
+    return out
+
+
+def flexible_state_dict(params: dict) -> dict:
+    """Our FlexibleNeRF param pytree -> reference torch state dict."""
+    out = {}
+    _torch_linear_sd(out, "layer1", params["layer1"])
+    for i, layer in enumerate(params["layers_xyz"]):
+        _torch_linear_sd(out, f"layers_xyz.{i}", layer)
+    if "fc_feat" in params:
+        _torch_linear_sd(out, "fc_feat", params["fc_feat"])
+        _torch_linear_sd(out, "layers_dir.0", params["layer_dir1"])
+        _torch_linear_sd(out, "fc_alpha", params["fc_alpha"])
+        _torch_linear_sd(out, "fc_rgb", params["fc_rgb"])
+    else:
+        _torch_linear_sd(out, "fc_out", params["fc_out"])
+    return out
+
+
+def codes_state_dict(codes: dict) -> dict:
+    import torch
+    return {
+        "shape_embedding.weight": torch.from_numpy(
+            np.asarray(codes["shape"]).copy()),
+        "texture_embedding.weight": torch.from_numpy(
+            np.asarray(codes["texture"]).copy()),
+    }
+
+
+def export_torch_checkpoint(ckpt_dir: str, cfg, settings,
+                            out_path: str) -> int:
+    """Convert one of our Orbax checkpoints into the reference's .ckpt
+    format (train.py:130-136) so models trained here can be loaded by the
+    reference implementation (its load_checkpoint, util.py:175-213).
+    Optimizer state is exported as an empty dict.  Returns the step.
+    """
+    import torch
+    import jax
+
+    from codenerf_tpu.train.checkpoint import restore_checkpoint
+    from codenerf_tpu.train.state import init_train_state
+
+    state, _ = init_train_state(jax.random.PRNGKey(0), cfg, settings,
+                                num_objects=_num_objects_in(ckpt_dir, cfg,
+                                                            settings))
+    state = restore_checkpoint(ckpt_dir, state)
+    params = jax.device_get(state.params)
+    model_type = cfg.models.nerf_coarse.type
+    to_sd = (codenerf_state_dict if model_type == "CodeNeRFModel"
+             else flexible_state_dict)
+    step = int(state.step)
+    ckpt = {
+        "iter": step,
+        "model_nerf_coarse_state_dict": to_sd(params["coarse"]),
+        "model_nerf_fine_state_dict": to_sd(params["fine"]),
+        "model_embedding_state_dict": (codes_state_dict(params["codes"])
+                                       if "codes" in params else {}),
+        "optimizer_state_dict": {},
+    }
+    torch.save(ckpt, out_path)
+    return step
+
+
+def _num_objects_in(ckpt_dir: str, cfg, settings) -> int:
+    """Read the code-table row count from the checkpoint metadata so the
+    restore template matches (the config doesn't record num_objects)."""
+    import orbax.checkpoint as ocp
+    from pathlib import Path
+
+    from codenerf_tpu.train.checkpoint import latest_step
+
+    step = latest_step(ckpt_dir)
+    if step is None:
+        raise FileNotFoundError(f"no checkpoint found in {ckpt_dir}")
+    meta = ocp.StandardCheckpointer().metadata(
+        Path(ckpt_dir).absolute() / str(step) / "default")
+    try:
+        return meta.item_metadata.tree["params"]["codes"]["shape"].shape[0]
+    except (KeyError, TypeError, AttributeError):
+        return 1
+
+
 def import_torch_checkpoint(ckpt_path: str, cfg, settings,
                             out_dir: str) -> int:
     """Convert a reference .ckpt file into an Orbax checkpoint directory.

@@ -14,6 +14,8 @@ from codenerf_tpu.models import (
 from codenerf_tpu.train.torch_import import (
     codenerf_params_from_torch, flexible_params_from_torch, codes_from_torch,
     params_from_torch_checkpoint, import_torch_checkpoint,
+    codenerf_state_dict, flexible_state_dict, codes_state_dict,
+    export_torch_checkpoint,
 )
 from tests.reference_loader import load_reference_module
 
@@ -154,6 +156,96 @@ class TestFullCheckpointImport:
         for a, b in zip(jax.tree.leaves(restored.params),
                         jax.tree.leaves(want)):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_export_roundtrip(self, tmp_path):
+        """Our params -> torch state dict -> back must be identity, and the
+        torch model must load the exported dict (strict=True)."""
+        import torch
+        from codenerf_tpu.models import init_codenerf, init_code_tables
+        cfg = CodeNeRFConfig(hidden_size=32, shape_code_size=16,
+                             texture_code_size=16, num_encoding_fn_xyz=6,
+                             num_encoding_fn_dir=4)
+        params = init_codenerf(jax.random.PRNGKey(11), cfg)
+        sd = codenerf_state_dict(params)
+        model_mod = load_reference_module(
+            "ref_model", "view_synthesis/models/model.py")
+        ref = model_mod.CodeNeRFModel(
+            hidden_size=32, shape_code_size=16, texture_code_size=16,
+            num_encoding_fn_xyz=6, num_encoding_fn_dir=4)
+        ref.load_state_dict(sd, strict=True)
+        back = codenerf_params_from_torch(ref.state_dict())
+        for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(back)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+        codes = init_code_tables(jax.random.PRNGKey(12), 5, 16, 16)
+        emb = model_mod.ShapeTextureEmbedding(5, 16, 16)
+        emb.load_state_dict(codes_state_dict(codes), strict=True)
+        back = codes_from_torch(emb.state_dict())
+        for a, b in zip(jax.tree.leaves(codes), jax.tree.leaves(back)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_flexible_export_loads_strict(self):
+        import torch
+        from codenerf_tpu.models import init_flexible_nerf
+        cfg = FlexibleNeRFConfig(num_layers=4, hidden_size=32,
+                                 skip_connect_ids=(2,), num_encoding_fn_xyz=6,
+                                 num_encoding_fn_dir=4, use_viewdirs=True)
+        params = init_flexible_nerf(jax.random.PRNGKey(13), cfg)
+        sd = flexible_state_dict(params)
+        model_mod = load_reference_module(
+            "ref_model", "view_synthesis/models/model.py")
+        ref = model_mod.FlexibleNeRFModel(
+            num_layers=4, hidden_size=32, skip_connect_ids=[2],
+            num_encoding_fn_xyz=6, num_encoding_fn_dir=4, use_viewdirs=True)
+        ref.load_state_dict(sd, strict=True)
+
+    def test_export_full_checkpoint(self, tmp_path):
+        """Orbax checkpoint -> reference .ckpt with the exact key set the
+        reference's load_checkpoint expects (util.py:175-213)."""
+        import torch
+        from codenerf_tpu.config.schema import (
+            Config, ModelsConfig, ModelSpec, EmbeddingSpec, NerfConfig,
+            PointSamplerConfig, EmbedderConfig)
+        from codenerf_tpu.pipeline import RenderSettings
+        from codenerf_tpu.train import init_train_state, checkpoint
+        from codenerf_tpu.train.state import TrainState
+
+        cfg = Config(
+            models=ModelsConfig(
+                nerf_coarse=ModelSpec(type="CodeNeRFModel", hidden_size=32),
+                nerf_fine=ModelSpec(type="CodeNeRFModel", hidden_size=32),
+                embedding=EmbeddingSpec(shape_code_size=16,
+                                        texture_code_size=16)),
+            nerf=NerfConfig(
+                point_sampler=PointSamplerConfig(num_coarse=8, num_fine=8,
+                                                 near_limit=0.8,
+                                                 far_limit=1.8),
+                embedder=EmbedderConfig(num_encoding_fn_xyz=6,
+                                        num_encoding_fn_dir=4)),
+        )
+        settings = RenderSettings.from_config(cfg)
+        state, _ = init_train_state(jax.random.PRNGKey(14), cfg, settings,
+                                    num_objects=4)
+        state = TrainState(state.params, state.opt_state,
+                           jnp.asarray(42, jnp.int32))
+        ckdir = tmp_path / "orbax"
+        checkpoint.save_checkpoint(ckdir, state)
+
+        out = tmp_path / "exported.ckpt"
+        step = export_torch_checkpoint(str(ckdir), cfg, settings, str(out))
+        assert step == 42
+        ck = torch.load(out, map_location="cpu", weights_only=False)
+        assert set(ck) == {"iter", "model_nerf_coarse_state_dict",
+                           "model_nerf_fine_state_dict",
+                           "model_embedding_state_dict",
+                           "optimizer_state_dict"}
+        assert ck["iter"] == 42
+        # num_objects recovered from checkpoint metadata, not the config
+        assert ck["model_embedding_state_dict"][
+            "shape_embedding.weight"].shape == (4, 16)
+        np.testing.assert_allclose(
+            ck["model_nerf_fine_state_dict"]["layer_xyz1.weight"].numpy(),
+            np.asarray(state.params["fine"]["layer_xyz1"]["w"]).T)
 
     def test_shape_mismatch_raises(self, tmp_path):
         from codenerf_tpu.config.schema import (
