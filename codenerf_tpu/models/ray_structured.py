@@ -74,10 +74,69 @@ def _mm(x, w, cd):
     return jnp.dot(x, w, preferred_element_type=jnp.float32)
 
 
+@partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _dot_add_relu(x, w, b, cd):
+    """relu(x @ w + b) saving ONLY the post-relu output.
+
+    Plain autodiff of the same expression stores BOTH the matmul/add
+    result (the relu's residual) AND the relu output (the next dot's
+    residual) — two [R*S, hidden] HBM tensors per layer.  Here the relu
+    mask is recovered from the output (y > 0: identical a.e. — the
+    gradient at exactly 0 is 0 either way), halving the stored-activation
+    traffic of the backward pass on the HBM-bound MLP chain (PERF.md
+    roofline).  ``b`` may be a bias [h] or a broadcast per-ray
+    conditioning row [R, 1, h] (reference model.py:179-192's concat
+    halves); its cotangent sums over the broadcast axes.
+    """
+    y = _mmc(x, w, cd)
+    return jax.nn.relu(y + b.astype(y.dtype))
+
+
+def _mmc(x, w, cd):
+    if cd is not None:
+        return jnp.dot(x.astype(cd), w.astype(cd),
+                       preferred_element_type=jnp.float32).astype(cd)
+    return jnp.dot(x, w, preferred_element_type=jnp.float32)
+
+
+def _dot_add_relu_fwd(x, w, b, cd):
+    y = _dot_add_relu(x, w, b, cd)
+    return y, (x, w, b, y)
+
+
+def _dot_add_relu_bwd(cd, res, g):
+    x, w, b, y = res
+    ct = cd if cd is not None else y.dtype
+    gp = jnp.where(y > 0, g, 0).astype(ct)
+    dx = jnp.dot(gp, w.astype(ct).T,
+                 preferred_element_type=jnp.float32).astype(x.dtype)
+    xf = x.reshape(-1, x.shape[-1]).astype(ct)
+    gf = gp.reshape(-1, gp.shape[-1])
+    dw = jnp.dot(xf.T, gf, preferred_element_type=jnp.float32).astype(w.dtype)
+    # un-broadcast: sum the cotangent over axes b doesn't carry
+    gb = gp.astype(jnp.float32)
+    lead = gb.ndim - b.ndim
+    if lead:
+        gb = jnp.sum(gb, axis=tuple(range(lead)))
+    keep = tuple(i for i in range(b.ndim) if b.shape[i] == 1
+                 and gb.shape[i] != 1)
+    if keep:
+        gb = jnp.sum(gb, axis=keep, keepdims=True)
+    return dx, dw, gb.astype(b.dtype)
+
+
+_dot_add_relu.defvjp(_dot_add_relu_fwd, _dot_add_relu_bwd)
+
+
 def _lin(params, x, cd):
     """Linear layer preserving the compute dtype (bias cast to match)."""
     y = _mm(x, params["w"], cd)
     return y + params["b"].astype(y.dtype)
+
+
+def _lin_relu(params, x, cd):
+    """relu(linear) via the single-residual fused op."""
+    return _dot_add_relu(x, params["w"], params["b"], cd)
 
 
 def _split_w(params, dim_top):
@@ -113,9 +172,9 @@ def apply_codenerf_rays(params, cfg: CodeNeRFConfig, xyz_enc: jax.Array,
         return y + b.astype(y.dtype)
 
     # ---- per-ray precomputations (cost independent of S) ----
-    zs1 = relu(_lin(params["shape_code_layer1"], z_s, cd))
-    zs2 = relu(_lin(params["shape_code_layer2"], z_s, cd))
-    zt1 = relu(_lin(params["texture_code_layer1"], z_t, cd))
+    zs1 = _lin_relu(params["shape_code_layer1"], z_s, cd)
+    zs2 = _lin_relu(params["shape_code_layer2"], z_s, cd)
+    zt1 = _lin_relu(params["texture_code_layer1"], z_t, cd)
 
     # layer_xyz2 consumes concat(h, zs1): factor the zs1 half per-ray
     w2_top, w2_bot = _split_w(params["layer_xyz2"], h)
@@ -130,14 +189,14 @@ def apply_codenerf_rays(params, cfg: CodeNeRFConfig, xyz_enc: jax.Array,
     wr_top, wr_bot = _split_w(params["fc_rgb"], h)
     zt1_part = bias(_mm(zt1, wr_bot, cd), params["fc_rgb"]["b"])      # [R, 3]
 
-    # ---- per-sample trunk ----
-    x = relu(_lin(params["layer_xyz1"], xyz_enc, cd))
-    x = relu(_mm(x, w2_top, cd) + zs1_part[:, None, :])
+    # ---- per-sample trunk (single-residual fused linear+relu ops) ----
+    x = _lin_relu(params["layer_xyz1"], xyz_enc, cd)
+    x = _dot_add_relu(x, w2_top, zs1_part[:, None, :], cd)
     feat = _mm(x, wo_top, cd) + zs2_part[:, None, :]
     sigma, feat = feat[..., :1], feat[..., 1:]
 
-    v = relu(_mm(feat, wd_top, cd) + dir_part[:, None, :])
-    v = relu(_lin(params["layer_dir2"], v, cd))
+    v = _dot_add_relu(feat, wd_top, dir_part[:, None, :], cd)
+    v = _lin_relu(params["layer_dir2"], v, cd)
     rgb = _mm(v, wr_top, cd) + zt1_part[:, None, :]
 
     # volume rendering runs in f32 regardless of the compute dtype
@@ -160,7 +219,7 @@ def apply_flexible_rays(params, cfg: FlexibleNeRFConfig, xyz_enc: jax.Array,
         if dir_enc is not None:
             dir_enc = dir_enc.astype(cd)
 
-    out = relu(_lin(params["layer1"], xyz_enc, cd))
+    out = _lin_relu(params["layer1"], xyz_enc, cd)
     for i, layer in enumerate(params["layers_xyz"]):
         if i in cfg.skip_connect_ids:
             # skip layer consumes concat(out, xyz_enc): both halves are
@@ -169,15 +228,15 @@ def apply_flexible_rays(params, cfg: FlexibleNeRFConfig, xyz_enc: jax.Array,
             y = _mm(out, w_top, cd) + _mm(xyz_enc, w_bot, cd)
             out = relu(y + layer["b"].astype(y.dtype))
         else:
-            out = relu(_lin(layer, out, cd))
+            out = _lin_relu(layer, out, cd)
 
     if cfg.use_viewdirs:
-        feat = relu(_lin(params["fc_feat"], out, cd))
+        feat = _lin_relu(params["fc_feat"], out, cd)
         sigma = _lin(params["fc_alpha"], feat, cd)
         wd_top, wd_bot = _split_w(params["layer_dir1"], h)
         dp = _mm(dir_enc, wd_bot, cd)
         dir_part = dp + params["layer_dir1"]["b"].astype(dp.dtype)
-        v = relu(_mm(feat, wd_top, cd) + dir_part[:, None, :])
+        v = _dot_add_relu(feat, wd_top, dir_part[:, None, :], cd)
         rgb = _lin(params["fc_rgb"], v, cd)
         return jnp.concatenate([rgb, sigma], axis=-1).astype(jnp.float32)
     return _lin(params["fc_out"], out, cd).astype(jnp.float32)

@@ -74,6 +74,47 @@ class TestCodeNeRFRayStructured:
         np.testing.assert_allclose(np.asarray(g_fast), np.asarray(g_flat),
                                    rtol=1e-4, atol=1e-4)
 
+    def test_parameter_gradients_match(self):
+        """Every weight/bias grad through the single-residual fused
+        linear+relu ops must equal plain autodiff of the flat apply."""
+        cfg = CodeNeRFConfig(hidden_size=32, shape_code_size=16,
+                             texture_code_size=16, num_encoding_fn_xyz=6,
+                             num_encoding_fn_dir=4)
+        params = init_codenerf(jax.random.PRNGKey(5), cfg)
+        rng = np.random.default_rng(5)
+        R, S = 5, 7
+        xyz_enc = jnp.asarray(rng.normal(size=(R, S, cfg.dim_xyz)),
+                              dtype=jnp.float32)
+        dir_enc = jnp.asarray(rng.normal(size=(R, cfg.dim_dir)),
+                              dtype=jnp.float32)
+        z_s = jnp.asarray(rng.normal(size=(R, 16)), dtype=jnp.float32)
+        z_t = jnp.asarray(rng.normal(size=(R, 16)), dtype=jnp.float32)
+        wgt = jnp.asarray(rng.normal(size=(R, S, 4)), dtype=jnp.float32)
+
+        def fast_loss(p, enc):
+            return jnp.sum(wgt * apply_codenerf_rays(p, cfg, enc, dir_enc,
+                                                     z_s, z_t))
+
+        def flat_loss(p, enc):
+            x = jnp.concatenate(
+                [enc, jnp.broadcast_to(dir_enc[:, None, :],
+                                       (R, S, cfg.dim_dir))],
+                axis=-1).reshape(R * S, -1)
+            zs = jnp.broadcast_to(z_s[:, None, :], (R, S, 16)).reshape(-1, 16)
+            zt = jnp.broadcast_to(z_t[:, None, :], (R, S, 16)).reshape(-1, 16)
+            out = apply_codenerf(p, cfg, x, zs, zt).reshape(R, S, 4)
+            return jnp.sum(wgt * out)
+
+        gp1, ge1 = jax.grad(fast_loss, argnums=(0, 1))(params, xyz_enc)
+        gp2, ge2 = jax.grad(flat_loss, argnums=(0, 1))(params, xyz_enc)
+        np.testing.assert_allclose(np.asarray(ge1), np.asarray(ge2),
+                                   rtol=1e-4, atol=1e-5)
+        for (pa, a), (_, b) in zip(jax.tree_util.tree_leaves_with_path(gp1),
+                                   jax.tree_util.tree_leaves_with_path(gp2)):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5,
+                err_msg=jax.tree_util.keystr(pa))
+
 
 class TestFlexibleRayStructured:
     def test_matches_flat_apply_with_skip(self):
