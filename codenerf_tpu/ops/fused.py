@@ -127,7 +127,7 @@ def _trunk_kernel(pts_ref, zs1p_ref, featp_ref, sigp_ref, dirp_ref,
 
 
 def _trunk_pallas(pts, per_ray, weights, b1_rows, *, S: int, T: int,
-                  compute_dtype):
+                  compute_dtype, vmem_limit: int | None = None):
     """pallas_call wrapper.  pts [R, S, 3]; R must be a multiple of T."""
     R = pts.shape[0]
     has_w1x = weights["w1x"] is not None
@@ -174,7 +174,8 @@ def _trunk_pallas(pts, per_ray, weights, b1_rows, *, S: int, T: int,
         # constant-index weight blocks resident across grid steps instead
         # of re-fetching them per tile
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",)),
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=vmem_limit),
     )(pts, per_ray["zs1p"], per_ray["featp"], per_ray["sigp"],
       per_ray["dirp"], per_ray["zt1p"], b1_rows, *weight_list)
 
@@ -323,7 +324,7 @@ def _trunk_bwd_kernel(pts_ref, zs1p_ref, featp_ref, sigp_ref, dirp_ref,
 
 
 def _trunk_bwd_pallas(pts, per_ray, b1, weights, g, *, S: int, T: int,
-                      compute_dtype):
+                      compute_dtype, vmem_limit: int | None = None):
     """pallas_call wrapper for the fused backward.
 
     Returns (g_pts, g_per_ray dict, db1, dweights dict) — f32 grads for
@@ -416,7 +417,8 @@ def _trunk_bwd_pallas(pts, per_ray, b1, weights, g, *, S: int, T: int,
         out_specs=tuple(outs[k][1] for k in out_order),
         out_shape=tuple(outs[k][0] for k in out_order),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",)),
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=vmem_limit),
     )(pts, per_ray["zs1p"], per_ray["featp"], per_ray["sigp"],
       per_ray["dirp"], per_ray["zt1p"], b1_rows, *weight_list,
       g.astype(jnp.float32))
@@ -438,7 +440,8 @@ def _trunk_bwd_pallas(pts, per_ray, b1, weights, g, *, S: int, T: int,
 def make_fused_codenerf(cfg: CodeNeRFConfig, num_freq_xyz: int,
                         include_input_xyz: bool, log_sampling_xyz: bool,
                         tile_rows: int = 1024, pallas_backward: bool = False,
-                        tile_rows_bwd: int | None = None):
+                        tile_rows_bwd: int | None = None,
+                        vmem_limit: int | None = None):
     # tile_rows=1024 keeps the kernel's VMEM stack (~9 MB at hidden=256)
     # under the 16 MB limit for any sample count; 2048 fits at S<=64 but
     # OOMs at S=128 (measured).
@@ -531,7 +534,7 @@ def make_fused_codenerf(cfg: CodeNeRFConfig, num_freq_xyz: int,
         weights = kernel_weights(params)
         b1_rows = jnp.broadcast_to(weights["b1"], (R, h))
         return _trunk_pallas(pts, per_ray, weights, b1_rows, S=S, T=T,
-                             compute_dtype=cd)
+                             compute_dtype=cd, vmem_limit=vmem_limit)
 
     def xla_reference(params, pts, dir_enc, z_s, z_t):
         xyz_enc = positional_encoding(pts, num_freq_xyz, include_input_xyz,
@@ -550,7 +553,7 @@ def make_fused_codenerf(cfg: CodeNeRFConfig, num_freq_xyz: int,
             T = pick_tile(R, S, tile_rows)
             b1_rows = jnp.broadcast_to(b1[None, :], (R, h))
             return _trunk_pallas(pts, per_ray, weights, b1_rows, S=S, T=T,
-                                 compute_dtype=cd)
+                                 compute_dtype=cd, vmem_limit=vmem_limit)
 
         def trunk_fwd(pts, per_ray, b1, weights):
             return trunk_op(pts, per_ray, b1, weights), (pts, per_ray, b1,
@@ -561,7 +564,8 @@ def make_fused_codenerf(cfg: CodeNeRFConfig, num_freq_xyz: int,
             R, S = pts.shape[0], pts.shape[1]
             T = pick_tile(R, S, tile_rows_bwd)
             g_pts, g_per_ray, db1, dweights = _trunk_bwd_pallas(
-                pts, per_ray, b1, weights, g, S=S, T=T, compute_dtype=cd)
+                pts, per_ray, b1, weights, g, S=S, T=T, compute_dtype=cd,
+                vmem_limit=vmem_limit)
             dweights["b1"] = jnp.zeros_like(weights["b1"])  # unused copy
             if weights["w1x"] is None:
                 dweights["w1x"] = None
