@@ -150,6 +150,13 @@ def encode_inputs(settings: RenderSettings, pts: jax.Array, rd: jax.Array):
 def _get_fused(model_cfg, num_freq, include_input, log_sampling,
                pallas_backward=False):
     from codenerf_tpu.ops.fused import make_fused_codenerf
+    if pallas_backward:
+        # measured-best tiles for the fwd+bwd pair on v5e (PERF.md tile
+        # sweep): 2048-row tiles with a 100 MB VMEM budget
+        return make_fused_codenerf(model_cfg, num_freq, include_input,
+                                   log_sampling, tile_rows=2048,
+                                   pallas_backward=True, tile_rows_bwd=2048,
+                                   vmem_limit=100 * 1024 * 1024)
     return make_fused_codenerf(model_cfg, num_freq, include_input,
                                log_sampling,
                                pallas_backward=pallas_backward)

@@ -170,6 +170,22 @@ class TestTrainStep:
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=1e-3, atol=1e-5)
 
+    def test_checkify_catches_nan_params(self):
+        """runtime.checkify (the stand-in for torch set_detect_anomaly,
+        SURVEY §5) must raise host-side when the computation produces
+        non-finite values."""
+        cfg = tiny_config()
+        settings = RenderSettings.from_config(cfg)
+        state, optimizer = init_train_state(jax.random.PRNGKey(1), cfg,
+                                            settings, num_objects=2)
+        poisoned = jax.tree.map(lambda a: a * jnp.nan, state.params)
+        state = state._replace(params=poisoned)
+        dirs, poses, pixels, ids = make_batch(seed=1)
+        step = make_train_step(settings, optimizer, 32, 1e-5, True,
+                               use_checkify=True)
+        with pytest.raises(Exception, match="(?i)nan"):
+            step(state, dirs, poses, pixels, ids, jax.random.PRNGKey(2))
+
     def test_ray_chunks_indivisible_raises(self):
         cfg = tiny_config()
         settings = RenderSettings.from_config(cfg)
