@@ -158,7 +158,6 @@ def apply_codenerf_rays(params, cfg: CodeNeRFConfig, xyz_enc: jax.Array,
     apply_codenerf on the flattened broadcast inputs (model.py:160-194).
     """
     cd = cfg._cdtype
-    relu = jax.nn.relu
     h = cfg.hidden_size
     if cd is not None:
         # cast once at the boundary so the large encodings/codes are read
