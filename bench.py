@@ -22,7 +22,8 @@ ESTIMATED_REFERENCE_RAYS_PER_SEC = 100_000.0
 def run_bench(num_rays: int = 8192, hidden: int = 256, code: int = 256,
               num_coarse: int = 64, num_fine: int = 64, steps: int = 20,
               compute_dtype: str = "bfloat16", use_pallas: bool = False,
-              pallas_backward: bool = False) -> dict:
+              pallas_backward: bool = False,
+              pallas_hybrid: bool = False) -> dict:
     import jax
     from codenerf_tpu.utils.cache import enable_compilation_cache
     enable_compilation_cache()
@@ -51,7 +52,8 @@ def run_bench(num_rays: int = 8192, hidden: int = 256, code: int = 256,
             perturb=True)),
         runtime=RuntimeConfig(compute_dtype=compute_dtype,
                               use_pallas=use_pallas,
-                              pallas_backward=pallas_backward),
+                              pallas_backward=pallas_backward,
+                              pallas_hybrid=pallas_hybrid),
     )
     settings = RenderSettings.from_config(cfg)
 
@@ -112,8 +114,11 @@ if __name__ == "__main__":
                     help="fused Pallas forward trunk")
     ap.add_argument("--pallas-bwd", action="store_true",
                     help="fused Pallas fwd+bwd kernel pair")
+    ap.add_argument("--pallas-hybrid", action="store_true",
+                    help="XLA forward + stored-activation Pallas backward")
     ap.add_argument("--rays", type=int, default=8192)
     a = ap.parse_args()
     print(json.dumps(run_bench(num_rays=a.rays,
                                use_pallas=a.pallas or a.pallas_bwd,
-                               pallas_backward=a.pallas_bwd)))
+                               pallas_backward=a.pallas_bwd,
+                               pallas_hybrid=a.pallas_hybrid)))

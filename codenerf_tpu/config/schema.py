@@ -171,6 +171,12 @@ class RuntimeConfig:
     # carried across the sequential grid) instead of rematerializing
     # through XLA
     pallas_backward: bool = False
+    # XLA forward + stored-activation Pallas backward for CodeNeRF on TPU
+    # (independent of use_pallas): the whole backward trunk runs in one
+    # Pallas kernel reading the bf16 activations the forward already
+    # stored — no recompute, cotangent chain stays in VMEM.  See
+    # ops/fused.py::make_hybrid_codenerf.
+    pallas_hybrid: bool = False
     # rematerialize MLP activations in the backward pass.  With the bf16
     # activation chain the stored stack (~9 x [R*S, hidden] bf16) fits HBM
     # at default batch sizes and storing beats recomputing (176.5k vs

@@ -180,25 +180,41 @@ def _trunk_pallas(pts, per_ray, weights, b1_rows, *, S: int, T: int,
       per_ray["dirp"], per_ray["zt1p"], b1_rows, *weight_list)
 
 
-def _trunk_bwd_kernel(pts_ref, zs1p_ref, featp_ref, sigp_ref, dirp_ref,
-                      zt1p_ref, b1_ref,
-                      w1x_ref, w1s_ref, w1c_ref, e_ref,
-                      w2_ref, wof_ref, wos_ref, wd_ref, wd2_ref, bd2_ref,
-                      wr_ref, g_ref,
-                      gpts_ref, gzs1p_ref, gfeatp_ref, gsigp_ref, gdirp_ref,
-                      gzt1p_ref, db1_ref, dw1x_ref, dw1s_ref, dw1c_ref,
-                      dw2_ref, dwof_ref, dwos_ref, dwd_ref, dwd2_ref,
-                      dbd2_ref, dwr_ref, *, S: int, compute_dtype,
-                      has_w1x: bool):
-    """Fused recompute-forward + backward for one ray tile.
+def _trunk_bwd_impl(ins: dict, outs: dict, *, S: int, compute_dtype,
+                    has_w1x: bool, stored: bool):
+    """Fused backward for one ray tile — two activation sources:
 
-    Recomputes the §3.4 forward chain (reference nerf/__init__.py:94-134,
-    model.py:160-194) entirely in VMEM, then backpropagates the [T, S, 4]
-    cotangent through it.  Weight gradients accumulate in f32 output refs
-    revisited by every grid step (sequential "arbitrary" grid); per-ray
-    conditioning grads are summed over the S samples of each ray with a
-    single [T, T*S] segment-sum matmul on the MXU.
+    * ``stored=False``: recompute the §3.4 forward chain (reference
+      nerf/__init__.py:94-134, model.py:160-194) entirely in VMEM, then
+      backpropagate (zero activation HBM traffic, 1x extra forward FLOPs).
+    * ``stored=True``: read the bf16 activations the XLA forward already
+      stored (``h1 h2 feat v1 v2`` tile refs) and only backpropagate —
+      the cotangent chain never touches HBM and no recompute is paid;
+      only the cheap encode stage (sin/cos of pts) is rederived in-kernel.
+
+    Weight gradients accumulate in f32 output refs revisited by every grid
+    step (sequential "arbitrary" grid); per-ray conditioning grads are
+    summed over the S samples of each ray with a single [T, T*S]
+    segment-sum matmul on the MXU.
     """
+    pts_ref = ins["pts"]
+    zs1p_ref, featp_ref, sigp_ref = ins["zs1p"], ins["featp"], ins["sigp"]
+    dirp_ref, zt1p_ref, b1_ref = ins["dirp"], ins["zt1p"], ins["b1"]
+    w1x_ref = ins.get("w1x")
+    w1s_ref, w1c_ref, e_ref = ins["w1s"], ins["w1c"], ins["E"]
+    w2_ref, wof_ref, wos_ref = ins["w2"], ins["wof"], ins["wos"]
+    wd_ref, wd2_ref, bd2_ref, wr_ref = (ins["wd"], ins["wd2"], ins["bd2"],
+                                        ins["wr"])
+    g_ref = ins["g"]
+    gpts_ref = outs["g_pts"]
+    gzs1p_ref, gfeatp_ref, gsigp_ref = (outs["gzs1p"], outs["gfeatp"],
+                                        outs["gsigp"])
+    gdirp_ref, gzt1p_ref, db1_ref = outs["gdirp"], outs["gzt1p"], outs["db1"]
+    dw1x_ref = outs.get("dw1x")
+    dw1s_ref, dw1c_ref, dw2_ref = outs["dw1s"], outs["dw1c"], outs["dw2"]
+    dwof_ref, dwos_ref, dwd_ref = outs["dwof"], outs["dwos"], outs["dwd"]
+    dwd2_ref, dbd2_ref, dwr_ref = outs["dwd2"], outs["dbd2"], outs["dwr"]
+
     T = pts_ref.shape[0]
     cd = compute_dtype
     relu = jax.nn.relu
@@ -241,7 +257,7 @@ def _trunk_bwd_kernel(pts_ref, zs1p_ref, featp_ref, sigp_ref, dirp_ref,
         return jnp.dot(seg_cd, x.astype(cd),
                        preferred_element_type=jnp.float32)
 
-    # ---- forward recompute (same math as _trunk_kernel) ----
+    # ---- activations: recompute in VMEM, or read the stored bf16 set ----
     # HIGHEST precision on the encode matmul: see _trunk_kernel — default
     # MXU input truncation puts O(1 rad) phase error on the high bands.
     pts = pts_ref[:].reshape(T * S, 3)
@@ -250,14 +266,21 @@ def _trunk_bwd_kernel(pts_ref, zs1p_ref, featp_ref, sigp_ref, dirp_ref,
         precision=jax.lax.Precision.HIGHEST,
         preferred_element_type=jnp.float32)
     sn, cs = jnp.sin(scaled), jnp.cos(scaled)
-    h1 = mm(sn, w1s_ref[:]) + mm(cs, w1c_ref[:])
-    if has_w1x:
-        h1 = h1 + mm(pts, w1x_ref[:])
-    h1 = relu(h1 + rep(b1_ref[:]))
-    h2 = relu(mm(h1, w2_ref[:]) + rep(zs1p_ref[:]))
-    feat = mm(h2, wof_ref[:]) + rep(featp_ref[:])
-    v1 = relu(mm(feat, wd_ref[:]) + rep(dirp_ref[:]))
-    v2 = relu(mm(v1, wd2_ref[:]) + bd2_ref[:].astype(cd))
+    if stored:
+        h1 = ins["h1"][:]
+        h2 = ins["h2"][:]
+        feat = ins["feat"][:]
+        v1 = ins["v1"][:]
+        v2 = ins["v2"][:]
+    else:
+        h1 = mm(sn, w1s_ref[:]) + mm(cs, w1c_ref[:])
+        if has_w1x:
+            h1 = h1 + mm(pts, w1x_ref[:])
+        h1 = relu(h1 + rep(b1_ref[:]))
+        h2 = relu(mm(h1, w2_ref[:]) + rep(zs1p_ref[:]))
+        feat = mm(h2, wof_ref[:]) + rep(featp_ref[:])
+        v1 = relu(mm(feat, wd_ref[:]) + rep(dirp_ref[:]))
+        v2 = relu(mm(v1, wd2_ref[:]) + bd2_ref[:].astype(cd))
 
     def live(act):
         # relu mask; the compare runs in f32 — Mosaic on v5e rejects bf16
@@ -324,8 +347,13 @@ def _trunk_bwd_kernel(pts_ref, zs1p_ref, featp_ref, sigp_ref, dirp_ref,
 
 
 def _trunk_bwd_pallas(pts, per_ray, b1, weights, g, *, S: int, T: int,
-                      compute_dtype, vmem_limit: int | None = None):
+                      compute_dtype, vmem_limit: int | None = None,
+                      acts: dict | None = None):
     """pallas_call wrapper for the fused backward.
+
+    ``acts``: optional dict of stored activations ``h1 h2 feat v1 v2``
+    (each [R*S, d], compute dtype) — selects the stored-activation kernel
+    (no forward recompute) instead of the recompute kernel.
 
     Returns (g_pts, g_per_ray dict, db1, dweights dict) — f32 grads for
     everything except the nondifferentiable encode matrix E.
@@ -333,6 +361,7 @@ def _trunk_bwd_pallas(pts, per_ray, b1, weights, g, *, S: int, T: int,
     R = pts.shape[0]
     h = b1.shape[0]
     has_w1x = weights["w1x"] is not None
+    stored = acts is not None
 
     def ray_block(d):
         return pl.BlockSpec((T, d), lambda i: (i, 0),
@@ -384,20 +413,15 @@ def _trunk_bwd_pallas(pts, per_ray, b1, weights, g, *, S: int, T: int,
                  "dw1s", "dw1c", "dw2", "dwof", "dwos", "dwd", "dwd2",
                  "dbd2", "dwr"]
 
-    if has_w1x:
-        kern = partial(_trunk_bwd_kernel, S=S, compute_dtype=compute_dtype,
-                       has_w1x=True)
-    else:
-        def kern(pts_ref, zs1p, featp, sigp, dirp, zt1p, b1r,
-                 w1s, w1c, e, w2, wof, wos, wd, wd2, bd2, wr, g_ref,
-                 gpts, gzs1p, gfeatp, gsigp, gdirp, gzt1p, db1,
-                 dw1s, dw1c, dw2, dwof, dwos, dwd, dwd2, dbd2, dwr):
-            return _trunk_bwd_kernel(
-                pts_ref, zs1p, featp, sigp, dirp, zt1p, b1r, None,
-                w1s, w1c, e, w2, wof, wos, wd, wd2, bd2, wr, g_ref,
-                gpts, gzs1p, gfeatp, gsigp, gdirp, gzt1p, db1, None,
-                dw1s, dw1c, dw2, dwof, dwos, dwd, dwd2, dbd2, dwr,
-                S=S, compute_dtype=compute_dtype, has_w1x=False)
+    in_names = (["pts", "zs1p", "featp", "sigp", "dirp", "zt1p", "b1"]
+                + w_names + ["g"]
+                + (["h1", "h2", "feat", "v1", "v2"] if stored else []))
+
+    def kern(*refs):
+        ins = dict(zip(in_names, refs[:len(in_names)]))
+        named_outs = dict(zip(out_order, refs[len(in_names):]))
+        _trunk_bwd_impl(ins, named_outs, S=S, compute_dtype=compute_dtype,
+                        has_w1x=has_w1x, stored=stored)
 
     in_specs = (
         [pl.BlockSpec((T, S, 3), lambda i: (i, 0, 0),
@@ -409,6 +433,18 @@ def _trunk_bwd_pallas(pts, per_ray, b1, weights, g, *, S: int, T: int,
         + [pl.BlockSpec((T, S, 4), lambda i: (i, 0, 0),
                         memory_space=pltpu.VMEM)])
     b1_rows = jnp.broadcast_to(b1[None, :], (R, h))
+    operands = [pts, per_ray["zs1p"], per_ray["featp"], per_ray["sigp"],
+                per_ray["dirp"], per_ray["zt1p"], b1_rows, *weight_list,
+                g.astype(jnp.float32)]
+    if stored:
+        # stored activations arrive flattened [R*S, d]; tiles are
+        # [T*S, d] row blocks (sublane dim T*S is a multiple of 8)
+        for k in ("h1", "h2", "feat", "v1", "v2"):
+            a = acts[k]
+            operands.append(a)
+            in_specs.append(pl.BlockSpec((T * S, a.shape[-1]),
+                                         lambda i: (i, 0),
+                                         memory_space=pltpu.VMEM))
 
     results = pl.pallas_call(
         kern,
@@ -419,9 +455,7 @@ def _trunk_bwd_pallas(pts, per_ray, b1, weights, g, *, S: int, T: int,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
             vmem_limit_bytes=vmem_limit),
-    )(pts, per_ray["zs1p"], per_ray["featp"], per_ray["sigp"],
-      per_ray["dirp"], per_ray["zt1p"], b1_rows, *weight_list,
-      g.astype(jnp.float32))
+    )(*operands)
 
     named = dict(zip(out_order, results))
     g_per_ray = {"zs1p": named["gzs1p"], "featp": named["gfeatp"],
@@ -435,6 +469,82 @@ def _trunk_bwd_pallas(pts, per_ray, b1, weights, g, *, S: int, T: int,
                 "wr": named["dwr"],
                 "w1x": named["dw1x"] if has_w1x else None}
     return named["g_pts"], g_per_ray, named["db1"][0], dweights
+
+
+def _pick_tile(R, S, rows):
+    """Ray-tile size T: Mosaic requires the [T, d] per-ray blocks'
+    sublane dim be a multiple of 8 (f32) or the full array, so prefer
+    the largest multiple-of-8 divisor of R with T*S <= rows; fall back
+    to the TPU-legal minimum T=8 (slightly over the rows budget), then
+    to any divisor (tiny inputs / interpret mode, where T=R makes the
+    block the full array)."""
+    cap = max(1, rows // S)
+    t = min(cap, R) // 8 * 8
+    while t >= 8:
+        if R % t == 0:
+            return t
+        t -= 8
+    if R % 8 == 0:
+        return 8
+    t = min(cap, R)
+    while R % t != 0:
+        t -= 1
+    return t
+
+
+def _per_ray_parts(params, cfg: CodeNeRFConfig, dir_enc, z_s, z_t):
+    """Per-ray conditioning rows — the [R, .] halves of every concat layer
+    (see models/ray_structured.py for the factoring identity)."""
+    relu = jax.nn.relu
+    h = cfg.hidden_size
+    ccd = cfg._cdtype
+    zs1 = relu(_mm(z_s, params["shape_code_layer1"]["w"], ccd)
+               + params["shape_code_layer1"]["b"])
+    zs2 = relu(_mm(z_s, params["shape_code_layer2"]["w"], ccd)
+               + params["shape_code_layer2"]["b"])
+    zt1 = relu(_mm(z_t, params["texture_code_layer1"]["w"], ccd)
+               + params["texture_code_layer1"]["b"])
+    zs1p = (_mm(zs1, params["layer_xyz2"]["w"][h:], ccd)
+            + params["layer_xyz2"]["b"])
+    out_part = (_mm(zs2, params["fc_out"]["w"][h:], ccd)
+                + params["fc_out"]["b"])
+    sigp, featp = out_part[..., :1], out_part[..., 1:]
+    dirp = (_mm(dir_enc, params["layer_dir1"]["w"][cfg.shape_code_size:],
+                ccd) + params["layer_dir1"]["b"])
+    zt1p = (_mm(zt1, params["fc_rgb"]["w"][h:], ccd)
+            + params["fc_rgb"]["b"])
+    return {"zs1p": zs1p, "featp": featp, "sigp": sigp, "dirp": dirp,
+            "zt1p": zt1p}
+
+
+def _kernel_weights(params, cfg: CodeNeRFConfig, num_freq_xyz: int,
+                    log_sampling_xyz: bool, cast: bool = True):
+    """Split / permuted trunk weights in kernel layout.
+
+    ``cast`` pre-casts matrix weights to the compute dtype so per-tile
+    weight DMA moves half the bytes (the in-kernel cast becomes a no-op).
+    The pallas-backward paths skip the cast: weight-grad cotangents must
+    stay f32 end-to-end (a bf16 primal would force bf16 grads), and the
+    constant-index weight blocks are fetched once anyway."""
+    cd = cfg._cdtype or jnp.float32
+    h = cfg.hidden_size
+    w1x, w1s, w1c, b1 = _split_layer1(params, cfg)
+    if not cast:
+        wc = (lambda a: a)
+    else:
+        wc = (lambda a: None if a is None else a.astype(cd))
+    return {
+        "w1x": wc(w1x), "w1s": wc(w1s), "w1c": wc(w1c), "b1": b1,
+        "E": (_encode_matrix(num_freq_xyz, log_sampling_xyz).astype(cd)
+              if cast else _encode_matrix(num_freq_xyz, log_sampling_xyz)),
+        "w2": wc(params["layer_xyz2"]["w"][:h]),
+        "wof": wc(params["fc_out"]["w"][:h][:, 1:]),
+        "wos": wc(params["fc_out"]["w"][:h][:, :1]),
+        "wd": wc(params["layer_dir1"]["w"][:cfg.shape_code_size]),
+        "wd2": wc(params["layer_dir2"]["w"]),
+        "bd2": params["layer_dir2"]["b"],
+        "wr": wc(params["fc_rgb"]["w"][:h]),
+    }
 
 
 def make_fused_codenerf(cfg: CodeNeRFConfig, num_freq_xyz: int,
@@ -461,71 +571,14 @@ def make_fused_codenerf(cfg: CodeNeRFConfig, num_freq_xyz: int,
         # cotangents), so default to half the rows per tile
         tile_rows_bwd = max(tile_rows // 2, 128)
 
-    def pick_tile(R, S, rows):
-        """Ray-tile size T: Mosaic requires the [T, d] per-ray blocks'
-        sublane dim be a multiple of 8 (f32) or the full array, so prefer
-        the largest multiple-of-8 divisor of R with T*S <= rows; fall back
-        to the TPU-legal minimum T=8 (slightly over the rows budget), then
-        to any divisor (tiny inputs / interpret mode, where T=R makes the
-        block the full array)."""
-        cap = max(1, rows // S)
-        t = min(cap, R) // 8 * 8
-        while t >= 8:
-            if R % t == 0:
-                return t
-            t -= 8
-        if R % 8 == 0:
-            return 8
-        t = min(cap, R)
-        while R % t != 0:
-            t -= 1
-        return t
+    pick_tile = _pick_tile
 
     def per_ray_parts(params, dir_enc, z_s, z_t):
-        relu = jax.nn.relu
-        ccd = cfg._cdtype
-        zs1 = relu(_mm(z_s, params["shape_code_layer1"]["w"], ccd)
-                   + params["shape_code_layer1"]["b"])
-        zs2 = relu(_mm(z_s, params["shape_code_layer2"]["w"], ccd)
-                   + params["shape_code_layer2"]["b"])
-        zt1 = relu(_mm(z_t, params["texture_code_layer1"]["w"], ccd)
-                   + params["texture_code_layer1"]["b"])
-        zs1p = (_mm(zs1, params["layer_xyz2"]["w"][h:], ccd)
-                + params["layer_xyz2"]["b"])
-        out_part = (_mm(zs2, params["fc_out"]["w"][h:], ccd)
-                    + params["fc_out"]["b"])
-        sigp, featp = out_part[..., :1], out_part[..., 1:]
-        dirp = (_mm(dir_enc, params["layer_dir1"]["w"][cfg.shape_code_size:],
-                    ccd) + params["layer_dir1"]["b"])
-        zt1p = (_mm(zt1, params["fc_rgb"]["w"][h:], ccd)
-                + params["fc_rgb"]["b"])
-        return {"zs1p": zs1p, "featp": featp, "sigp": sigp, "dirp": dirp,
-                "zt1p": zt1p}
+        return _per_ray_parts(params, cfg, dir_enc, z_s, z_t)
 
     def kernel_weights(params, cast=True):
-        w1x, w1s, w1c, b1 = _split_layer1(params, cfg)
-        # pre-cast matrix weights to the compute dtype so per-tile weight
-        # DMA moves half the bytes (the in-kernel cast becomes a no-op).
-        # The pallas-backward path skips the cast: weight-grad cotangents
-        # must stay f32 end-to-end (a bf16 primal would force bf16 grads),
-        # and the constant-index weight blocks are fetched once anyway.
-        if not cast:
-            wc = (lambda a: a)
-        else:
-            wc = (lambda a: None if a is None else a.astype(cd))
-        return {
-            "w1x": wc(w1x), "w1s": wc(w1s), "w1c": wc(w1c), "b1": b1,
-            "E": (_encode_matrix(num_freq_xyz, log_sampling_xyz).astype(cd)
-                  if cast else _encode_matrix(num_freq_xyz,
-                                              log_sampling_xyz)),
-            "w2": wc(params["layer_xyz2"]["w"][:h]),
-            "wof": wc(params["fc_out"]["w"][:h][:, 1:]),
-            "wos": wc(params["fc_out"]["w"][:h][:, :1]),
-            "wd": wc(params["layer_dir1"]["w"][:cfg.shape_code_size]),
-            "wd2": wc(params["layer_dir2"]["w"]),
-            "bd2": params["layer_dir2"]["b"],
-            "wr": wc(params["fc_rgb"]["w"][:h]),
-        }
+        return _kernel_weights(params, cfg, num_freq_xyz, log_sampling_xyz,
+                               cast)
 
     def forward(params, pts, dir_enc, z_s, z_t):
         R, S = pts.shape[0], pts.shape[1]
@@ -598,3 +651,104 @@ def make_fused_codenerf(cfg: CodeNeRFConfig, num_freq_xyz: int,
     fused.defvjp(fused_fwd, fused_bwd)
     fused.xla_reference = xla_reference
     return fused
+
+
+def make_hybrid_codenerf(cfg: CodeNeRFConfig, num_freq_xyz: int,
+                         include_input_xyz: bool, log_sampling_xyz: bool,
+                         tile_rows_bwd: int = 2048,
+                         vmem_limit: int | None = 100 * 1024 * 1024):
+    """XLA forward + stored-activation Pallas backward.
+
+    The XLA ray-structured forward is already near its HBM roofline
+    (PERF.md), but XLA's backward runs at ~50% of it: the masked cotangent
+    is materialized per layer and the dx / dw matmuls each re-read their
+    operands from HBM.  This hybrid keeps the fast XLA forward (which must
+    write each layer's activation to HBM between matmul kernels anyway —
+    those writes ARE the stored residuals, so storing is free) and runs
+    the ENTIRE backward trunk in one Pallas kernel: the cotangent chain
+    lives in VMEM, each stored bf16 activation is read exactly once, and
+    weight grads accumulate in f32 refs across the sequential grid.
+    Unlike the fused fwd+bwd pair (``pallas_backward``) there is NO
+    forward recompute — only the cheap encode stage (pts @ E, sin/cos)
+    is rederived in-kernel.
+
+    Returned signature matches make_fused_codenerf:
+      hybrid(params, pts [R,S,3], dir_enc [R,dd], z_s [R,C], z_t [R,C])
+        -> raw [R,S,4]
+    """
+    cd = cfg._cdtype or jnp.float32
+    h = cfg.hidden_size
+    has_input = include_input_xyz
+
+    def xla_trunk(pts, per_ray, b1, weights):
+        """Forward trunk in kernel-weight layout, returning the raw output
+        AND the activation set the Pallas backward consumes.  Same math as
+        _trunk_kernel / apply_codenerf_rays (allclose-tested)."""
+        R, S = pts.shape[0], pts.shape[1]
+
+        def mm(x, w):
+            return jnp.dot(x.astype(cd), w.astype(cd),
+                           preferred_element_type=jnp.float32).astype(cd)
+
+        def row(name):
+            return per_ray[name][:, None, :].astype(cd)
+
+        # encode-as-matmul at HIGHEST precision (see _trunk_kernel)
+        scaled = jax.lax.dot_general(
+            pts, weights["E"].astype(jnp.float32),
+            (((2,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32)             # [R, S, 3F]
+        relu = jax.nn.relu
+        y = mm(jnp.sin(scaled), weights["w1s"]) + mm(jnp.cos(scaled),
+                                                     weights["w1c"])
+        if has_input:
+            y = y + mm(pts, weights["w1x"])
+        h1 = relu(y + b1.astype(cd))
+        h2 = relu(mm(h1, weights["w2"]) + row("zs1p"))
+        feat = mm(h2, weights["wof"]) + row("featp")
+        sigma = (mm(h2, weights["wos"]).astype(jnp.float32)
+                 + per_ray["sigp"][:, None, :].astype(jnp.float32))
+        v1 = relu(mm(feat, weights["wd"]) + row("dirp"))
+        v2 = relu(mm(v1, weights["wd2"]) + weights["bd2"].astype(cd))
+        rgb = (mm(v2, weights["wr"]).astype(jnp.float32)
+               + per_ray["zt1p"][:, None, :].astype(jnp.float32))
+        out = jnp.concatenate([rgb, sigma], axis=-1)
+        acts = {"h1": h1, "h2": h2, "feat": feat, "v1": v1, "v2": v2}
+        return out, {k: v.reshape(-1, v.shape[-1]) for k, v in acts.items()}
+
+    @jax.custom_vjp
+    def trunk_op(pts, per_ray, b1, weights):
+        return xla_trunk(pts, per_ray, b1, weights)[0]
+
+    def trunk_fwd(pts, per_ray, b1, weights):
+        out, acts = xla_trunk(pts, per_ray, b1, weights)
+        return out, (pts, per_ray, b1, weights, acts)
+
+    def trunk_bwd(res, g):
+        pts, per_ray, b1, weights, acts = res
+        R, S = pts.shape[0], pts.shape[1]
+        T = _pick_tile(R, S, tile_rows_bwd)
+        g_pts, g_per_ray, db1, dweights = _trunk_bwd_pallas(
+            pts, per_ray, b1, weights, g, S=S, T=T, compute_dtype=cd,
+            vmem_limit=vmem_limit, acts=acts)
+        dweights["b1"] = jnp.zeros_like(weights["b1"])  # unused copy
+        if weights["w1x"] is None:
+            dweights["w1x"] = None
+        return g_pts, g_per_ray, db1, dweights
+
+    trunk_op.defvjp(trunk_fwd, trunk_bwd)
+
+    def hybrid(params, pts, dir_enc, z_s, z_t):
+        per_ray = _per_ray_parts(params, cfg, dir_enc, z_s, z_t)
+        weights = _kernel_weights(params, cfg, num_freq_xyz,
+                                  log_sampling_xyz, cast=False)
+        return trunk_op(pts, per_ray, weights["b1"], weights)
+
+    def xla_reference(params, pts, dir_enc, z_s, z_t):
+        xyz_enc = positional_encoding(pts, num_freq_xyz, include_input_xyz,
+                                      log_sampling_xyz)
+        return apply_codenerf_rays(params, cfg, xyz_enc, dir_enc, z_s, z_t)
+
+    hybrid.xla_reference = xla_reference
+    return hybrid

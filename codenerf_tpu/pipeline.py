@@ -92,6 +92,7 @@ class RenderSettings:
     remat: bool = False
     use_pallas: bool = False
     pallas_backward: bool = False
+    pallas_hybrid: bool = False
 
     @staticmethod
     def from_config(cfg: Config, compute_dtype: Optional[str] = None
@@ -122,6 +123,7 @@ class RenderSettings:
             remat=cfg.runtime.remat,
             use_pallas=cfg.runtime.use_pallas,
             pallas_backward=cfg.runtime.pallas_backward,
+            pallas_hybrid=cfg.runtime.pallas_hybrid,
         )
 
 
@@ -162,8 +164,21 @@ def _get_fused(model_cfg, num_freq, include_input, log_sampling,
                                pallas_backward=pallas_backward)
 
 
+@functools.lru_cache(maxsize=32)
+def _get_hybrid(model_cfg, num_freq, include_input, log_sampling):
+    from codenerf_tpu.ops.fused import make_hybrid_codenerf
+    return make_hybrid_codenerf(model_cfg, num_freq, include_input,
+                                log_sampling)
+
+
 def _pallas_active(settings, model_cfg) -> bool:
     return (settings.use_pallas and isinstance(model_cfg, CodeNeRFConfig)
+            and settings.use_viewdirs and jax.default_backend() == "tpu")
+
+
+def _hybrid_active(settings, model_cfg) -> bool:
+    return (settings.pallas_hybrid and not settings.use_pallas
+            and isinstance(model_cfg, CodeNeRFConfig)
             and settings.use_viewdirs and jax.default_backend() == "tpu")
 
 
@@ -176,15 +191,21 @@ def _forward(params, model_cfg, settings, pts, rd, z_s, z_t):
     """
     from codenerf_tpu.models.ray_structured import (
         apply_codenerf_rays, apply_flexible_rays)
-    if _pallas_active(settings, model_cfg):
+    if _pallas_active(settings, model_cfg) or _hybrid_active(settings,
+                                                             model_cfg):
         viewdirs = rd / jnp.linalg.norm(rd, axis=-1, keepdims=True)
         dir_enc = positional_encoding(viewdirs, settings.num_encoding_fn_dir,
                                       settings.include_input_dir,
                                       settings.log_sampling_dir)
-        fused = _get_fused(model_cfg, settings.num_encoding_fn_xyz,
-                           settings.include_input_xyz,
-                           settings.log_sampling_xyz,
-                           settings.pallas_backward)
+        if _hybrid_active(settings, model_cfg):
+            fused = _get_hybrid(model_cfg, settings.num_encoding_fn_xyz,
+                                settings.include_input_xyz,
+                                settings.log_sampling_xyz)
+        else:
+            fused = _get_fused(model_cfg, settings.num_encoding_fn_xyz,
+                               settings.include_input_xyz,
+                               settings.log_sampling_xyz,
+                               settings.pallas_backward)
         return fused(params, pts, dir_enc, z_s, z_t)
     xyz_enc, dir_enc = encode_inputs(settings, pts, rd)
     if isinstance(model_cfg, CodeNeRFConfig):
@@ -222,7 +243,8 @@ def render_rays(params: dict, settings: RenderSettings, ro: jax.Array,
     def fwd_f(p, pts, rd_, zs_, zt_):
         return _forward(p, settings.fine_cfg, settings, pts, rd_, zs_, zt_)
 
-    if settings.remat and not _pallas_active(settings, settings.coarse_cfg):
+    if (settings.remat and not _pallas_active(settings, settings.coarse_cfg)
+            and not _hybrid_active(settings, settings.coarse_cfg)):
         # Recompute the encode->MLP chain in the backward pass instead of
         # storing ~9 x [R*S, hidden] activations in HBM (jax.checkpoint:
         # the HBM-bandwidth / capacity trade SURVEY §7 calls for).

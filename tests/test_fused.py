@@ -8,7 +8,7 @@ import jax.numpy as jnp
 
 from codenerf_tpu.models import CodeNeRFConfig, init_codenerf
 from codenerf_tpu.ops import fused as fused_mod
-from codenerf_tpu.ops.fused import make_fused_codenerf
+from codenerf_tpu.ops.fused import make_fused_codenerf, make_hybrid_codenerf
 
 
 @pytest.fixture(autouse=True)
@@ -153,13 +153,17 @@ class TestFusedBackwardKernel:
         so exact comparison is to the f32 truth: the pallas-bwd bf16 grads
         must sit within bf16 rounding distance (relative L2) of the f32
         gradients, leaf by leaf."""
+        self._bf16_check(
+            lambda cfg: make_fused_codenerf(cfg, 6, True, True, tile_rows=64,
+                                            pallas_backward=True))
+
+    def _bf16_check(self, make):
         kw = dict(hidden_size=64, shape_code_size=32, texture_code_size=32,
                   num_encoding_fn_xyz=6)
         cfg16 = CodeNeRFConfig(compute_dtype="bfloat16", **kw)
         cfg32 = CodeNeRFConfig(**kw)
         params = init_codenerf(jax.random.PRNGKey(6), cfg16)
-        fused16 = make_fused_codenerf(cfg16, 6, True, True, tile_rows=64,
-                                      pallas_backward=True)
+        fused16 = make(cfg16)
         fused32 = make_fused_codenerf(cfg32, 6, True, True, tile_rows=64)
         pts, dir_enc, z_s, z_t = _inputs(cfg16, R=8, S=8, seed=6)
 
@@ -180,3 +184,60 @@ class TestFusedBackwardKernel:
                 assert np.linalg.norm(a) < 1e-6
             else:
                 assert np.linalg.norm(a - b) / denom < 0.05
+
+
+class TestHybridBackwardKernel:
+    """XLA forward + stored-activation Pallas backward
+    (make_hybrid_codenerf) vs the XLA reference gradients."""
+
+    def _check_grads(self, cfg, R, S, seed, tile_rows_bwd=64, rtol=2e-3,
+                     atol=2e-3):
+        params = init_codenerf(jax.random.PRNGKey(seed), cfg)
+        hybrid = make_hybrid_codenerf(
+            cfg, cfg.num_encoding_fn_xyz, cfg.include_input_xyz, True,
+            tile_rows_bwd=tile_rows_bwd, vmem_limit=None)
+        pts, dir_enc, z_s, z_t = _inputs(cfg, R=R, S=S, seed=seed)
+
+        wgt = jnp.asarray(
+            np.random.default_rng(seed + 7).normal(size=(R, S, 4)),
+            jnp.float32)
+
+        def loss(fn):
+            def f(p, zs, zt, de, pt):
+                return jnp.sum(wgt * fn(p, pt, de, zs, zt))
+            return f
+
+        got_out = hybrid(params, pts, dir_enc, z_s, z_t)
+        want_out = hybrid.xla_reference(params, pts, dir_enc, z_s, z_t)
+        np.testing.assert_allclose(np.asarray(got_out), np.asarray(want_out),
+                                   rtol=1e-4, atol=1e-4)
+
+        got = jax.grad(loss(hybrid), argnums=(0, 1, 2, 3, 4))(
+            params, z_s, z_t, dir_enc, pts)
+        want = jax.grad(loss(hybrid.xla_reference), argnums=(0, 1, 2, 3, 4))(
+            params, z_s, z_t, dir_enc, pts)
+        flat_got, tree_got = jax.tree.flatten(got)
+        flat_want, tree_want = jax.tree.flatten(want)
+        assert tree_got == tree_want
+        for a, b in zip(flat_got, flat_want):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=rtol, atol=atol)
+
+    @pytest.mark.parametrize("include_input", [True, False])
+    def test_all_gradients_match_xla(self, include_input):
+        cfg = CodeNeRFConfig(hidden_size=64, shape_code_size=32,
+                             texture_code_size=32, num_encoding_fn_xyz=10,
+                             num_encoding_fn_dir=4,
+                             include_input_xyz=include_input)
+        self._check_grads(cfg, R=8, S=16, seed=3)
+
+    def test_multi_tile_accumulation(self):
+        cfg = CodeNeRFConfig(hidden_size=32, shape_code_size=16,
+                             texture_code_size=16, num_encoding_fn_xyz=6)
+        self._check_grads(cfg, R=12, S=8, seed=4, tile_rows_bwd=16)
+
+    def test_bf16_compute_dtype(self):
+        TestFusedBackwardKernel()._bf16_check(
+            lambda cfg: make_hybrid_codenerf(cfg, 6, True, True,
+                                             tile_rows_bwd=64,
+                                             vmem_limit=None))

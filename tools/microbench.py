@@ -41,7 +41,7 @@ def timed(name, fn, *args, steps=10):
     return dt
 
 
-def main(use_pallas=True):
+def main(use_pallas=True, pallas_hybrid=False):
     R, S_C, S_F, H, C = 8192, 64, 64, 256, 256
     cfg = Config(
         models=ModelsConfig(
@@ -52,7 +52,8 @@ def main(use_pallas=True):
             num_coarse=S_C, num_fine=S_F, near_limit=0.8, far_limit=1.8,
             perturb=True)),
         runtime=RuntimeConfig(compute_dtype="bfloat16",
-                              use_pallas=use_pallas),
+                              use_pallas=use_pallas,
+                              pallas_hybrid=pallas_hybrid),
     )
     settings = RenderSettings.from_config(cfg)
     kc, kf, kt = jax.random.split(jax.random.PRNGKey(0), 3)
@@ -68,7 +69,8 @@ def main(use_pallas=True):
     key = jax.random.PRNGKey(1)
     target = jnp.asarray(rng.uniform(size=(R, 3)), jnp.float32)
 
-    print(f"use_pallas={use_pallas} backend={jax.default_backend()}")
+    print(f"use_pallas={use_pallas} pallas_hybrid={pallas_hybrid} "
+          f"backend={jax.default_backend()}")
 
     # sampling only
     zg = base_z_vals(S_C, 0.8, 1.8, "lindepth")
@@ -124,12 +126,22 @@ def main(use_pallas=True):
     de = jnp.asarray(rng.normal(size=(R, settings.coarse_cfg.dim_dir)),
                      jnp.float32)
 
-    @jax.jit
-    def mlp_bwd(p, zs):
-        def f(p, zs):
-            return jnp.sum(apply_codenerf_rays(
-                p, settings.coarse_cfg, enc, de, zs, zs) ** 2)
-        return jax.grad(f, argnums=(0, 1))(p, zs)
+    if pallas_hybrid:
+        from codenerf_tpu.ops.fused import make_hybrid_codenerf
+        hyb = make_hybrid_codenerf(settings.coarse_cfg, 10, True, True)
+
+        @jax.jit
+        def mlp_bwd(p, zs):
+            def f(p, zs):
+                return jnp.sum(hyb(p, pts, de, zs, zs) ** 2)
+            return jax.grad(f, argnums=(0, 1))(p, zs)
+    else:
+        @jax.jit
+        def mlp_bwd(p, zs):
+            def f(p, zs):
+                return jnp.sum(apply_codenerf_rays(
+                    p, settings.coarse_cfg, enc, de, zs, zs) ** 2)
+            return jax.grad(f, argnums=(0, 1))(p, zs)
     timed("MLP trunk fwd+bwd (128 samp)", mlp_bwd, params["coarse"], z_s)
 
     # full fwd+bwd (loss over params+codes)
@@ -147,5 +159,8 @@ if __name__ == "__main__":
     import argparse
     ap = argparse.ArgumentParser()
     ap.add_argument("--no-pallas", action="store_true")
+    ap.add_argument("--hybrid", action="store_true",
+                    help="stored-activation Pallas backward")
     a = ap.parse_args()
-    main(use_pallas=not a.no_pallas)
+    main(use_pallas=not a.no_pallas and not a.hybrid,
+         pallas_hybrid=a.hybrid)
