@@ -14,9 +14,29 @@ at ~25 steps/s fwd+bwd would be optimistic for the torch implementation at
 """
 
 import json
+import os
+import sys
+import threading
 import time
 
 ESTIMATED_REFERENCE_RAYS_PER_SEC = 100_000.0
+
+
+def _arm_watchdog(minutes: float) -> None:
+    """The tunneled TPU platform can wedge after hours of heavy use (all
+    device ops hang, even from fresh processes — CLAUDE.md infra hazard).
+    A hung benchmark is unrecoverable from Python (the blocked device op
+    never returns), so fail loudly instead of hanging the driver: print a
+    diagnostic to stderr and hard-exit nonzero."""
+    def fire():
+        print(f"bench.py watchdog: no result after {minutes:.0f} min — "
+              "TPU tunnel is likely wedged; aborting", file=sys.stderr,
+              flush=True)
+        os._exit(3)
+
+    t = threading.Timer(minutes * 60.0, fire)
+    t.daemon = True
+    t.start()
 
 
 def run_bench(num_rays: int = 8192, hidden: int = 256, code: int = 256,
@@ -117,7 +137,12 @@ if __name__ == "__main__":
     ap.add_argument("--pallas-hybrid", action="store_true",
                     help="XLA forward + stored-activation Pallas backward")
     ap.add_argument("--rays", type=int, default=8192)
+    ap.add_argument("--watchdog-minutes", type=float, default=25.0,
+                    help="abort if no result within this long (wedged "
+                         "TPU tunnel); 0 disables")
     a = ap.parse_args()
+    if a.watchdog_minutes:
+        _arm_watchdog(a.watchdog_minutes)
     print(json.dumps(run_bench(num_rays=a.rays,
                                use_pallas=a.pallas or a.pallas_bwd,
                                pallas_backward=a.pallas_bwd,
