@@ -73,6 +73,14 @@ class TestReferenceConfigs:
         assert cfg.nerf.point_sampler.num_coarse == 64
         assert cfg.experiment.id == "foo"
 
+    def test_runtime_kernel_flags_reach_render_settings(self):
+        from codenerf_tpu.pipeline import RenderSettings
+        cfg = load_config(REF_CONFIGS / "srn-cars-code.yml",
+                          overrides=["runtime.pallas_hybrid=True",
+                                     "runtime.pallas_backward=True"])
+        s = RenderSettings.from_config(cfg)
+        assert s.pallas_hybrid and s.pallas_backward and not s.use_pallas
+
     def test_unknown_override_raises(self):
         with pytest.raises(KeyError):
             load_config(REF_CONFIGS / "srn-cars-code.yml",
