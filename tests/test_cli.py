@@ -44,6 +44,34 @@ def test_train_cli_end_to_end(synth_root, tmp_path):
     assert (tmp_path / "cli" / "metrics.jsonl").exists()
 
 
+def test_train_cli_lego_vanilla_nerf(tmp_path):
+    """BASELINE.json config #1: the reference's (stale — SURVEY §3.6)
+    lego.yml drives a working Blender + FlexibleNeRF train end-to-end."""
+    data = tmp_path / "lego"
+    subprocess.run(
+        [sys.executable, "tools/make_synth_data.py", "--out", str(data),
+         "--format", "blender", "--views", "3", "--val-views", "2",
+         "--size", "16"],
+        check=True, cwd=ROOT, capture_output=True)
+    res = subprocess.run(
+        [sys.executable, "train.py", "-c",
+         "/root/reference/config/lego.yml",
+         "--platform", "cpu", "--max-steps", "3",
+         f"dataset.basedir={data}",
+         f"experiment.logdir={tmp_path}/logs",
+         "experiment.id=lego", "experiment.print_every=1",
+         "experiment.save_every=100000",
+         "nerf.ray_sampler.num_random_rays=16",
+         "nerf.point_sampler.num_coarse=4", "nerf.point_sampler.num_fine=4",
+         "models.nerf_coarse.hidden_size=8", "models.nerf_fine.hidden_size=8",
+         "nerf.embedder.num_encoding_fn_xyz=2",
+         "nerf.embedder.num_encoding_fn_dir=2",
+         "runtime.compute_dtype=float32"],
+        cwd=ROOT, capture_output=True, text=True, timeout=300)
+    assert res.returncode == 0, res.stderr[-2000:]
+    assert "[TRAIN ]" in res.stdout
+
+
 def test_train_cli_rejects_bad_override(synth_root, tmp_path):
     res = subprocess.run(
         [sys.executable, "train.py", "-c", "configs/synth-smoke.yml",
