@@ -72,6 +72,34 @@ def test_train_cli_lego_vanilla_nerf(tmp_path):
     assert "[TRAIN ]" in res.stdout
 
 
+def test_train_cli_fern_llff(tmp_path):
+    """BASELINE.json config #2: the reference's oldest-schema fern.yml
+    (llff dataset, coarse+fine FlexibleNeRF) trains end-to-end."""
+    data = tmp_path / "fern"
+    subprocess.run(
+        [sys.executable, "tools/make_synth_data.py", "--out", str(data),
+         "--format", "llff", "--views", "6", "--size", "16"],
+        check=True, cwd=ROOT, capture_output=True)
+    res = subprocess.run(
+        [sys.executable, "train.py", "-c",
+         "/root/reference/config/fern.yml",
+         "--platform", "cpu", "--max-steps", "3",
+         f"dataset.basedir={data}",
+         "dataset.downsample_factor=1",
+         f"experiment.logdir={tmp_path}/logs",
+         "experiment.id=fern", "experiment.print_every=1",
+         "experiment.save_every=100000",
+         "nerf.ray_sampler.num_random_rays=16",
+         "nerf.point_sampler.num_coarse=4", "nerf.point_sampler.num_fine=4",
+         "models.nerf_coarse.hidden_size=8", "models.nerf_fine.hidden_size=8",
+         "nerf.embedder.num_encoding_fn_xyz=2",
+         "nerf.embedder.num_encoding_fn_dir=2",
+         "runtime.compute_dtype=float32"],
+        cwd=ROOT, capture_output=True, text=True, timeout=300)
+    assert res.returncode == 0, res.stderr[-2000:]
+    assert "[TRAIN ]" in res.stdout
+
+
 def test_train_cli_rejects_bad_override(synth_root, tmp_path):
     res = subprocess.run(
         [sys.executable, "train.py", "-c", "configs/synth-smoke.yml",
