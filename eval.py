@@ -49,6 +49,12 @@ def main():
                                 cfg, harness.settings,
                                 harness.train_dataset.num_objects)
     state = checkpoint.restore_checkpoint(args.load_checkpoint, state)
+    if harness.mesh is not None:
+        # restored arrays come back committed to one device; the TTO step
+        # and image renderer are jitted over the mesh, so replicate (same
+        # as train/loop.py's resume path)
+        from codenerf_tpu.parallel.mesh import replicated_sharding
+        state = jax.device_put(state, replicated_sharding(harness.mesh))
     print(f"Restored checkpoint at step {int(state.step)}")
 
     rounds = args.rounds

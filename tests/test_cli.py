@@ -100,6 +100,63 @@ def test_train_cli_fern_llff(tmp_path):
     assert "[TRAIN ]" in res.stdout
 
 
+def test_train_cli_srn_vanilla_nerf(synth_root, tmp_path):
+    """BASELINE.json config #3: srn-cars.yml — SRN dataset + vanilla
+    FlexibleNeRF (another reference-stale combination made to work)."""
+    res = subprocess.run(
+        [sys.executable, "train.py", "-c",
+         "/root/reference/config/srn-cars.yml",
+         "--platform", "cpu", "--max-steps", "3",
+         f"dataset.basedir={synth_root}",
+         f"experiment.logdir={tmp_path}/logs",
+         "experiment.id=srnvan", "experiment.print_every=1",
+         "experiment.save_every=100000",
+         "nerf.ray_sampler.num_random_rays=16",
+         "nerf.point_sampler.num_coarse=4", "nerf.point_sampler.num_fine=4",
+         "models.nerf_coarse.hidden_size=8", "models.nerf_fine.hidden_size=8",
+         "nerf.embedder.num_encoding_fn_xyz=2",
+         "nerf.embedder.num_encoding_fn_dir=2",
+         "runtime.compute_dtype=float32"],
+        cwd=ROOT, capture_output=True, text=True, timeout=300)
+    assert res.returncode == 0, res.stderr[-2000:]
+    assert "[TRAIN ]" in res.stdout
+
+
+def test_eval_cli_tto_round_trip(synth_root, tmp_path):
+    """BASELINE.json config #5's shape: train -> checkpoint -> eval.py TTO
+    (code + pose optimization) -> full-image render PSNR."""
+    shrink = [
+        "nerf.ray_sampler.num_random_rays=16",
+        "nerf.point_sampler.num_coarse=4", "nerf.point_sampler.num_fine=4",
+        "models.nerf_coarse.hidden_size=8", "models.nerf_fine.hidden_size=8",
+        "models.embedding.shape_code_size=8",
+        "models.embedding.texture_code_size=8",
+        "nerf.embedder.num_encoding_fn_xyz=2",
+        "nerf.embedder.num_encoding_fn_dir=2",
+        "runtime.compute_dtype=float32",
+    ]
+    res = subprocess.run(
+        [sys.executable, "train.py", "-c", "configs/synth-smoke.yml",
+         "--platform", "cpu", "--max-steps", "2",
+         f"dataset.basedir={synth_root}",
+         f"experiment.logdir={tmp_path}/logs", "experiment.id=rt",
+         "experiment.print_every=1", "experiment.save_every=2"] + shrink,
+        cwd=ROOT, capture_output=True, text=True, timeout=300)
+    assert res.returncode == 0, res.stderr[-2000:]
+    ckpt = tmp_path / "logs" / "rt" / "checkpoints"
+    assert ckpt.exists()
+    res = subprocess.run(
+        [sys.executable, "eval.py", "-c", "configs/synth-smoke.yml",
+         "--platform", "cpu", "--load-checkpoint", str(ckpt), "--rounds", "1",
+         f"dataset.basedir={synth_root}",
+         f"experiment.logdir={tmp_path}/logs", "experiment.id=rt",
+         "experiment.val_iterations=3"] + shrink,
+        cwd=ROOT, capture_output=True, text=True, timeout=300)
+    assert res.returncode == 0, res.stderr[-2000:]
+    assert "[VALOPT]" in res.stdout
+    assert "[VAL   ]" in res.stdout
+
+
 def test_train_cli_rejects_bad_override(synth_root, tmp_path):
     res = subprocess.run(
         [sys.executable, "train.py", "-c", "configs/synth-smoke.yml",
