@@ -357,15 +357,36 @@ def _apply_override(cfg: Config, dotted: str, value) -> Config:
     return rec(cfg, path)
 
 
+def _load_py_config(path: Path) -> dict:
+    """Python-source config: a module exporting a ``cfg`` dict attribute
+    (reference cfg_node.py:370-384)."""
+    import importlib.util
+    spec = importlib.util.spec_from_file_location("codenerf_config_source",
+                                                  path)
+    module = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(module)
+    if not hasattr(module, "cfg"):
+        raise ValueError(f"python config {path} must export a 'cfg' dict")
+    if not isinstance(module.cfg, dict):
+        raise ValueError(f"'cfg' in {path} must be a dict, "
+                         f"got {type(module.cfg)}")
+    return module.cfg
+
+
 def load_config(path: str | Path, overrides: Optional[list] = None) -> Config:
-    """Load a YAML config (any schema generation) + dotted overrides.
+    """Load a YAML or python-source config (any schema generation) +
+    dotted overrides.
 
     Overrides are strings like ``optimizer.lr=3e-4``; values go through
     ``ast.literal_eval`` with string fallback, as in the reference
     (cfg_node.py:386-414).
     """
-    with open(path) as f:
-        raw = yaml.safe_load(f)
+    path = Path(path)
+    if path.suffix == ".py":
+        raw = _load_py_config(path)
+    else:
+        with open(path) as f:
+            raw = yaml.safe_load(f)
     cfg = config_from_dict(raw)
     for ov in overrides or []:
         key, _, val = ov.partition("=")

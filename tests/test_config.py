@@ -81,6 +81,25 @@ class TestReferenceConfigs:
         s = RenderSettings.from_config(cfg)
         assert s.pallas_hybrid and s.pallas_backward and not s.use_pallas
 
+    def test_python_source_config(self, tmp_path):
+        """.py configs exporting a cfg dict (reference cfg_node.py:370-384)."""
+        py = tmp_path / "exp.py"
+        py.write_text(
+            "base = 128\n"
+            "cfg = {'experiment': {'id': 'pycfg'},\n"
+            "       'models': {'nerf_coarse':\n"
+            "                  {'type': 'CodeNeRFModel', 'hidden_size': base}}}\n")
+        cfg = load_config(py, overrides=["optimizer.lr=2e-4"])
+        assert cfg.experiment.id == "pycfg"
+        assert cfg.models.nerf_coarse.hidden_size == 128
+        assert cfg.optimizer.lr == pytest.approx(2e-4)
+
+    def test_python_source_config_requires_cfg_dict(self, tmp_path):
+        py = tmp_path / "bad.py"
+        py.write_text("x = 1\n")
+        with pytest.raises(ValueError):
+            load_config(py)
+
     def test_unknown_override_raises(self):
         with pytest.raises(KeyError):
             load_config(REF_CONFIGS / "srn-cars-code.yml",
