@@ -43,7 +43,8 @@ def run_bench(num_rays: int = 8192, hidden: int = 256, code: int = 256,
               num_coarse: int = 64, num_fine: int = 64, steps: int = 20,
               compute_dtype: str = "bfloat16", use_pallas: bool = False,
               pallas_backward: bool = False,
-              pallas_hybrid: bool = False) -> dict:
+              pallas_hybrid: bool = False,
+              pallas_layer_bwd: bool = False) -> dict:
     import jax
     from codenerf_tpu.utils.cache import enable_compilation_cache
     enable_compilation_cache()
@@ -73,7 +74,8 @@ def run_bench(num_rays: int = 8192, hidden: int = 256, code: int = 256,
         runtime=RuntimeConfig(compute_dtype=compute_dtype,
                               use_pallas=use_pallas,
                               pallas_backward=pallas_backward,
-                              pallas_hybrid=pallas_hybrid),
+                              pallas_hybrid=pallas_hybrid,
+                              pallas_layer_bwd=pallas_layer_bwd),
     )
     settings = RenderSettings.from_config(cfg)
 
@@ -136,6 +138,8 @@ if __name__ == "__main__":
                     help="fused Pallas fwd+bwd kernel pair")
     ap.add_argument("--pallas-hybrid", action="store_true",
                     help="XLA forward + stored-activation Pallas backward")
+    ap.add_argument("--layer-bwd", action="store_true",
+                    help="single-pass Pallas backward per linear+relu layer")
     ap.add_argument("--rays", type=int, default=8192)
     ap.add_argument("--watchdog-minutes", type=float, default=25.0,
                     help="abort if no result within this long (wedged "
@@ -146,4 +150,5 @@ if __name__ == "__main__":
     print(json.dumps(run_bench(num_rays=a.rays,
                                use_pallas=a.pallas or a.pallas_bwd,
                                pallas_backward=a.pallas_bwd,
-                               pallas_hybrid=a.pallas_hybrid)))
+                               pallas_hybrid=a.pallas_hybrid,
+                               pallas_layer_bwd=a.layer_bwd)))

@@ -177,6 +177,10 @@ class RuntimeConfig:
     # stored — no recompute, cotangent chain stays in VMEM.  See
     # ops/fused.py::make_hybrid_codenerf.
     pallas_hybrid: bool = False
+    # single-pass Pallas backward PER linear+relu layer (dx, dw and db in
+    # one kernel; XLA's backward makes three passes over the [R*S, hidden]
+    # arrays — see ops/layer_bwd.py).  Forward stays XLA.  TPU only.
+    pallas_layer_bwd: bool = False
     # rematerialize MLP activations in the backward pass.  With the bf16
     # activation chain the stored stack (~9 x [R*S, hidden] bf16) fits HBM
     # at default batch sizes and storing beats recomputing (176.5k vs

@@ -57,6 +57,9 @@ class CodeNeRFConfig:
     include_input_dir: bool = True
     # bf16 matmuls with f32 accumulation on the MXU; None = full f32.
     compute_dtype: str | None = None
+    # single-pass Pallas backward for the trunk linear+relu layers
+    # (ops/layer_bwd.py); forward stays XLA.  TPU only.
+    pallas_layer_bwd: bool = False
 
     @property
     def dim_xyz(self) -> int:
@@ -139,6 +142,8 @@ class FlexibleNeRFConfig:
     include_input_dir: bool = True
     use_viewdirs: bool = True
     compute_dtype: str | None = None
+    # single-pass Pallas backward for the linear+relu layers (TPU only)
+    pallas_layer_bwd: bool = False
 
     @property
     def dim_xyz(self) -> int:

@@ -107,14 +107,24 @@ def _dot_add_relu_fwd(x, w, b, cd):
 def _dot_add_relu_bwd(cd, res, g):
     x, w, b, y = res
     ct = cd if cd is not None else y.dtype
+    # The masked cotangent is written as TWO textually different (but
+    # numerically identical) expressions on purpose: with a single shared
+    # `gp`, XLA materializes it to HBM (two consumers) and the backward
+    # becomes three full passes over the [R*S, hidden] arrays — the
+    # gp+db fusion, the dx matmul, and the dw matmul (profiled at ~6 ms
+    # per fine-pass layer, tools/xprof_summary.py).  Distinct single-use
+    # expressions let each mask fuse into its consumer matmul's operand
+    # instead, so the masked cotangent never touches HBM.
     gp = jnp.where(y > 0, g, 0).astype(ct)
+    gp2 = (g * (y > 0).astype(g.dtype)).astype(ct)
     dx = jnp.dot(gp, w.astype(ct).T,
                  preferred_element_type=jnp.float32).astype(x.dtype)
     xf = x.reshape(-1, x.shape[-1]).astype(ct)
-    gf = gp.reshape(-1, gp.shape[-1])
+    gf = gp2.reshape(-1, gp2.shape[-1])
     dw = jnp.dot(xf.T, gf, preferred_element_type=jnp.float32).astype(w.dtype)
-    # un-broadcast: sum the cotangent over axes b doesn't carry
-    gb = gp.astype(jnp.float32)
+    # un-broadcast: sum the cotangent over axes b doesn't carry (shares
+    # gp2's subexpression so it co-fuses with the dw pass)
+    gb = gp2.astype(jnp.float32)
     lead = gb.ndim - b.ndim
     if lead:
         gb = jnp.sum(gb, axis=tuple(range(lead)))
@@ -128,15 +138,45 @@ def _dot_add_relu_bwd(cd, res, g):
 _dot_add_relu.defvjp(_dot_add_relu_fwd, _dot_add_relu_bwd)
 
 
+@partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _dot_add_relu_pl(x, w, b, cd):
+    """Same forward as _dot_add_relu; backward is the single-pass Pallas
+    kernel (ops/layer_bwd.py) instead of XLA's three passes over the
+    [R*S, hidden] arrays.  Selected by ``pallas_layer_bwd`` on the model
+    config (TPU only)."""
+    y = _mmc(x, w, cd)
+    return jax.nn.relu(y + b.astype(y.dtype))
+
+
+def _dot_add_relu_pl_fwd(x, w, b, cd):
+    y = _dot_add_relu_pl(x, w, b, cd)
+    return y, (x, w, b, y)
+
+
+def _dot_add_relu_pl_bwd(cd, res, g):
+    from codenerf_tpu.ops.layer_bwd import linear_relu_bwd_pallas
+    x, w, b, y = res
+    return linear_relu_bwd_pallas(x, w, b, y, g, cd)
+
+
+_dot_add_relu_pl.defvjp(_dot_add_relu_pl_fwd, _dot_add_relu_pl_bwd)
+
+
 def _lin(params, x, cd):
     """Linear layer preserving the compute dtype (bias cast to match)."""
     y = _mm(x, params["w"], cd)
     return y + params["b"].astype(y.dtype)
 
 
-def _lin_relu(params, x, cd):
+def _lin_relu(params, x, cd, use_pl=False):
     """relu(linear) via the single-residual fused op."""
+    if use_pl:
+        return _dot_add_relu_pl(x, params["w"], params["b"], cd)
     return _dot_add_relu(x, params["w"], params["b"], cd)
+
+
+def _layer_bwd_active(cfg) -> bool:
+    return cfg.pallas_layer_bwd and jax.default_backend() == "tpu"
 
 
 def _split_w(params, dim_top):
@@ -189,13 +229,15 @@ def apply_codenerf_rays(params, cfg: CodeNeRFConfig, xyz_enc: jax.Array,
     zt1_part = bias(_mm(zt1, wr_bot, cd), params["fc_rgb"]["b"])      # [R, 3]
 
     # ---- per-sample trunk (single-residual fused linear+relu ops) ----
-    x = _lin_relu(params["layer_xyz1"], xyz_enc, cd)
-    x = _dot_add_relu(x, w2_top, zs1_part[:, None, :], cd)
+    pl_bwd = _layer_bwd_active(cfg)
+    dar = _dot_add_relu_pl if pl_bwd else _dot_add_relu
+    x = _lin_relu(params["layer_xyz1"], xyz_enc, cd, use_pl=pl_bwd)
+    x = dar(x, w2_top, zs1_part[:, None, :], cd)
     feat = _mm(x, wo_top, cd) + zs2_part[:, None, :]
     sigma, feat = feat[..., :1], feat[..., 1:]
 
-    v = _dot_add_relu(feat, wd_top, dir_part[:, None, :], cd)
-    v = _lin_relu(params["layer_dir2"], v, cd)
+    v = dar(feat, wd_top, dir_part[:, None, :], cd)
+    v = _lin_relu(params["layer_dir2"], v, cd, use_pl=pl_bwd)
     rgb = _mm(v, wr_top, cd) + zt1_part[:, None, :]
 
     # volume rendering runs in f32 regardless of the compute dtype
@@ -218,7 +260,8 @@ def apply_flexible_rays(params, cfg: FlexibleNeRFConfig, xyz_enc: jax.Array,
         if dir_enc is not None:
             dir_enc = dir_enc.astype(cd)
 
-    out = _lin_relu(params["layer1"], xyz_enc, cd)
+    pl_bwd = _layer_bwd_active(cfg)
+    out = _lin_relu(params["layer1"], xyz_enc, cd, use_pl=pl_bwd)
     for i, layer in enumerate(params["layers_xyz"]):
         if i in cfg.skip_connect_ids:
             # skip layer consumes concat(out, xyz_enc): both halves are
@@ -227,15 +270,16 @@ def apply_flexible_rays(params, cfg: FlexibleNeRFConfig, xyz_enc: jax.Array,
             y = _mm(out, w_top, cd) + _mm(xyz_enc, w_bot, cd)
             out = relu(y + layer["b"].astype(y.dtype))
         else:
-            out = _lin_relu(layer, out, cd)
+            out = _lin_relu(layer, out, cd, use_pl=pl_bwd)
 
     if cfg.use_viewdirs:
-        feat = _lin_relu(params["fc_feat"], out, cd)
+        feat = _lin_relu(params["fc_feat"], out, cd, use_pl=pl_bwd)
         sigma = _lin(params["fc_alpha"], feat, cd)
         wd_top, wd_bot = _split_w(params["layer_dir1"], h)
         dp = _mm(dir_enc, wd_bot, cd)
         dir_part = dp + params["layer_dir1"]["b"].astype(dp.dtype)
-        v = _dot_add_relu(feat, wd_top, dir_part[:, None, :], cd)
+        dar = _dot_add_relu_pl if pl_bwd else _dot_add_relu
+        v = dar(feat, wd_top, dir_part[:, None, :], cd)
         rgb = _lin(params["fc_rgb"], v, cd)
         return jnp.concatenate([rgb, sigma], axis=-1).astype(jnp.float32)
     return _lin(params["fc_out"], out, cd).astype(jnp.float32)

@@ -30,7 +30,8 @@ from codenerf_tpu.ops.volume_render import volume_render, RenderOutputs
 
 def model_config_from_spec(spec: ModelSpec, embedder: EmbedderConfig,
                            shape_code_size: int, texture_code_size: int,
-                           compute_dtype: Optional[str] = None):
+                           compute_dtype: Optional[str] = None,
+                           pallas_layer_bwd: bool = False):
     """String-keyed model registry (reference util.py:118 getattr pattern)."""
     if spec.type == "CodeNeRFModel":
         return CodeNeRFConfig(
@@ -42,6 +43,7 @@ def model_config_from_spec(spec: ModelSpec, embedder: EmbedderConfig,
             include_input_xyz=embedder.include_input_xyz,
             include_input_dir=embedder.include_input_dir,
             compute_dtype=compute_dtype,
+            pallas_layer_bwd=pallas_layer_bwd,
         )
     if spec.type == "FlexibleNeRFModel":
         return FlexibleNeRFConfig(
@@ -54,6 +56,7 @@ def model_config_from_spec(spec: ModelSpec, embedder: EmbedderConfig,
             include_input_dir=embedder.include_input_dir,
             use_viewdirs=embedder.use_viewdirs,
             compute_dtype=compute_dtype,
+            pallas_layer_bwd=pallas_layer_bwd,
         )
     raise ValueError(f"unknown model type: {spec.type}")
 
@@ -105,7 +108,8 @@ class RenderSettings:
         mk = partial(model_config_from_spec, embedder=emb,
                      shape_code_size=cfg.models.embedding.shape_code_size,
                      texture_code_size=cfg.models.embedding.texture_code_size,
-                     compute_dtype=dt)
+                     compute_dtype=dt,
+                     pallas_layer_bwd=cfg.runtime.pallas_layer_bwd)
         return RenderSettings(
             num_coarse=ps.num_coarse, num_fine=ps.num_fine,
             near=ps.near_limit, far=ps.far_limit,
