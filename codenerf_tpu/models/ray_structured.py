@@ -231,10 +231,24 @@ def apply_codenerf_rays(params, cfg: CodeNeRFConfig, xyz_enc: jax.Array,
     # ---- per-sample trunk (single-residual fused linear+relu ops) ----
     pl_bwd = _layer_bwd_active(cfg)
     dar = _dot_add_relu_pl if pl_bwd else _dot_add_relu
-    x = _lin_relu(params["layer_xyz1"], xyz_enc, cd, use_pl=pl_bwd)
+    # layer_xyz1 stays on the XLA backward even when pallas_layer_bwd:
+    # its K=63 residual is a concat XLA otherwise never materializes
+    # flat (profiled pad/convert glue outweighs the kernel win), and its
+    # dx is dead in training (pts has no trainable ancestors) — XLA
+    # DCEs it, the kernel can't.
+    x = _lin_relu(params["layer_xyz1"], xyz_enc, cd)
     x = dar(x, w2_top, zs1_part[:, None, :], cd)
-    feat = _mm(x, wo_top, cd) + zs2_part[:, None, :]
-    sigma, feat = feat[..., :1], feat[..., 1:]
+    if pl_bwd:
+        # split fc_out into separate sigma/feat matmuls: slicing the
+        # fused [.., 257] output produces a lane-misaligned slice + a
+        # layout transpose ahead of the dir1 backward kernel (profiled
+        # ~3.3 ms/step of pure copies); two matmuls cost the same FLOPs
+        # and keep feat in the kernel's layout
+        sigma = _mm(x, wo_top[:, :1], cd) + zs2_part[:, None, :1]
+        feat = _mm(x, wo_top[:, 1:], cd) + zs2_part[:, None, 1:]
+    else:
+        feat = _mm(x, wo_top, cd) + zs2_part[:, None, :]
+        sigma, feat = feat[..., :1], feat[..., 1:]
 
     v = dar(feat, wd_top, dir_part[:, None, :], cd)
     v = _lin_relu(params["layer_dir2"], v, cd, use_pl=pl_bwd)
@@ -261,7 +275,8 @@ def apply_flexible_rays(params, cfg: FlexibleNeRFConfig, xyz_enc: jax.Array,
             dir_enc = dir_enc.astype(cd)
 
     pl_bwd = _layer_bwd_active(cfg)
-    out = _lin_relu(params["layer1"], xyz_enc, cd, use_pl=pl_bwd)
+    # layer1 stays on the XLA backward (see apply_codenerf_rays)
+    out = _lin_relu(params["layer1"], xyz_enc, cd)
     for i, layer in enumerate(params["layers_xyz"]):
         if i in cfg.skip_connect_ids:
             # skip layer consumes concat(out, xyz_enc): both halves are

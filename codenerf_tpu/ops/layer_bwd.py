@@ -52,7 +52,7 @@ def _pick_rows(M: int, S: int, target: int) -> int:
     return M  # tiny inputs / interpret mode: one tile
 
 
-def linear_relu_bwd_pallas(x, w, b, y, g, cd, *, tile_rows: int = 2048,
+def linear_relu_bwd_pallas(x, w, b, y, g, cd, *, tile_rows: int = 8192,
                            vmem_limit: int | None = 100 * 1024 * 1024):
     """Backward of y = relu(x @ w + b).
 
