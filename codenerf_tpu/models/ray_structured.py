@@ -87,6 +87,12 @@ def _dot_add_relu(x, w, b, cd):
     roofline).  ``b`` may be a bias [h] or a broadcast per-ray
     conditioning row [R, 1, h] (reference model.py:179-192's concat
     halves); its cotangent sums over the broadcast axes.
+
+    Backward-pass restructurings that did NOT help (both measured
+    neutral, kept out for simplicity — PERF.md session 4): splitting the
+    masked cotangent into per-consumer expressions, and mask-forwarding
+    (emitting dx pre-masked so the producer layer skips its mask pass) —
+    XLA re-fuses to the same schedule either way.
     """
     y = _mmc(x, w, cd)
     return jax.nn.relu(y + b.astype(y.dtype))
@@ -107,24 +113,14 @@ def _dot_add_relu_fwd(x, w, b, cd):
 def _dot_add_relu_bwd(cd, res, g):
     x, w, b, y = res
     ct = cd if cd is not None else y.dtype
-    # The masked cotangent is written as TWO textually different (but
-    # numerically identical) expressions on purpose: with a single shared
-    # `gp`, XLA materializes it to HBM (two consumers) and the backward
-    # becomes three full passes over the [R*S, hidden] arrays — the
-    # gp+db fusion, the dx matmul, and the dw matmul (profiled at ~6 ms
-    # per fine-pass layer, tools/xprof_summary.py).  Distinct single-use
-    # expressions let each mask fuse into its consumer matmul's operand
-    # instead, so the masked cotangent never touches HBM.
     gp = jnp.where(y > 0, g, 0).astype(ct)
-    gp2 = (g * (y > 0).astype(g.dtype)).astype(ct)
     dx = jnp.dot(gp, w.astype(ct).T,
                  preferred_element_type=jnp.float32).astype(x.dtype)
     xf = x.reshape(-1, x.shape[-1]).astype(ct)
-    gf = gp2.reshape(-1, gp2.shape[-1])
+    gf = gp.reshape(-1, gp.shape[-1])
     dw = jnp.dot(xf.T, gf, preferred_element_type=jnp.float32).astype(w.dtype)
-    # un-broadcast: sum the cotangent over axes b doesn't carry (shares
-    # gp2's subexpression so it co-fuses with the dw pass)
-    gb = gp2.astype(jnp.float32)
+    # un-broadcast: sum the cotangent over axes b doesn't carry
+    gb = gp.astype(jnp.float32)
     lead = gb.ndim - b.ndim
     if lead:
         gb = jnp.sum(gb, axis=tuple(range(lead)))
@@ -230,14 +226,19 @@ def apply_codenerf_rays(params, cfg: CodeNeRFConfig, xyz_enc: jax.Array,
 
     # ---- per-sample trunk (single-residual fused linear+relu ops) ----
     pl_bwd = _layer_bwd_active(cfg)
-    dar = _dot_add_relu_pl if pl_bwd else _dot_add_relu
+
+    def dar(x_, w_, b_):
+        if pl_bwd:
+            return _dot_add_relu_pl(x_, w_, b_, cd)
+        return _dot_add_relu(x_, w_, b_, cd)
+
     # layer_xyz1 stays on the XLA backward even when pallas_layer_bwd:
     # its K=63 residual is a concat XLA otherwise never materializes
     # flat (profiled pad/convert glue outweighs the kernel win), and its
     # dx is dead in training (pts has no trainable ancestors) — XLA
     # DCEs it, the kernel can't.
     x = _lin_relu(params["layer_xyz1"], xyz_enc, cd)
-    x = dar(x, w2_top, zs1_part[:, None, :], cd)
+    x = dar(x, w2_top, zs1_part[:, None, :])
     if pl_bwd:
         # split fc_out into separate sigma/feat matmuls: slicing the
         # fused [.., 257] output produces a lane-misaligned slice + a
@@ -250,8 +251,8 @@ def apply_codenerf_rays(params, cfg: CodeNeRFConfig, xyz_enc: jax.Array,
         feat = _mm(x, wo_top, cd) + zs2_part[:, None, :]
         sigma, feat = feat[..., :1], feat[..., 1:]
 
-    v = dar(feat, wd_top, dir_part[:, None, :], cd)
-    v = _lin_relu(params["layer_dir2"], v, cd, use_pl=pl_bwd)
+    v = dar(feat, wd_top, dir_part[:, None, :])
+    v = dar(v, params["layer_dir2"]["w"], params["layer_dir2"]["b"])
     rgb = _mm(v, wr_top, cd) + zt1_part[:, None, :]
 
     # volume rendering runs in f32 regardless of the compute dtype
