@@ -162,9 +162,10 @@ class RuntimeConfig:
     compute_dtype: str = "bfloat16"
     # use the fused Pallas ray-march trunk kernel for CodeNeRF on TPU.
     # Default off: the XLA ray-structured path measures faster fwd+bwd at
-    # hidden=256 (176.5k rays/s vs 130.1k for the fused fwd+bwd pair —
-    # PERF.md); the kernels are kept for larger models, where activation
-    # traffic grows faster than the fused pair's recompute overhead.
+    # every size tested — hidden=256 AND hidden=512 (PERF.md session 4:
+    # custom-call boundaries force layout materializations that scale
+    # with the activations, so the kernels never win); all Pallas modes
+    # are kept as correct, tested alternatives.
     use_pallas: bool = False
     # with use_pallas, also use the fused Pallas backward kernel (recompute
     # fwd in VMEM + backprop in one kernel, f32 weight-grad accumulators
