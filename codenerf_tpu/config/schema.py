@@ -90,6 +90,14 @@ class OptimizerConfig:
     radius_lr: Optional[float] = None       # None -> `val_lr`
     scheduler_gamma: float = 0.1
     scheduler_step_size: int = 5000000
+    # Multi-start pose TTO (beyond-reference): probe this many azimuth
+    # initializations for `pose_restart_steps` TTO steps each, then
+    # continue the full optimization from the lowest-loss candidate.
+    # 1 = reference behavior (single init at theta/phi/rho 1.57/0/1.30,
+    # eval.py:129-131), which gets stuck when the target azimuth is far
+    # from 0.  Restart 0 always uses the reference init.
+    pose_restarts: int = 1
+    pose_restart_steps: int = 50
 
     @property
     def resolved_embedding_lr(self) -> float:

@@ -49,15 +49,22 @@ class TTOMetrics(NamedTuple):
     pose_error: jax.Array
 
 
-def init_tto_state(code_tables, opt_cfg) -> tuple[TTOState, object]:
-    """Codes = table means, pose = (1.57, 0, 1.30) (eval.py:126-131)."""
+def init_tto_state(code_tables, opt_cfg,
+                   pose_init=(1.57, 0.0, 1.30)) -> tuple[TTOState, object]:
+    """Codes = table means, pose = (1.57, 0, 1.30) (eval.py:126-131).
+
+    ``pose_init``: (theta, phi, rho) override for multi-start pose TTO
+    (config ``optimizer.pose_restarts``); the default is the reference
+    initialization.
+    """
     z_s0, z_t0 = mean_codes(code_tables)
+    theta, phi, rho = pose_init
     variables = {
         "z_s": z_s0,
         "z_t": z_t0,
-        "theta": jnp.asarray([1.57], jnp.float32),
-        "phi": jnp.asarray([0.0], jnp.float32),
-        "rho": jnp.asarray([1.30], jnp.float32),
+        "theta": jnp.asarray([theta], jnp.float32),
+        "phi": jnp.asarray([phi], jnp.float32),
+        "rho": jnp.asarray([rho], jnp.float32),
     }
     optimizer = build_tto_optimizer(opt_cfg)
     return TTOState(variables, optimizer.init(variables),

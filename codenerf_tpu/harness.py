@@ -8,6 +8,7 @@ grid, render settings and mesh; train/eval loops build on it.
 
 from __future__ import annotations
 
+import math
 import time
 from dataclasses import dataclass
 from pathlib import Path
@@ -114,6 +115,34 @@ def validate(harness: Harness, params: dict, logger: MetricLogger,
         key = jax.random.PRNGKey(cfg.experiment.randomseed)
         n_iters = (cfg.experiment.val_iterations if val_iterations is None
                    else val_iterations)
+
+        # Multi-start pose TTO (optimizer.pose_restarts > 1): probe
+        # azimuth initializations briefly and continue from the best —
+        # the reference's fixed phi=0 init (eval.py:129-131) strands the
+        # optimization in a local minimum when the target azimuth is far.
+        # Restart 0 is exactly the reference init.
+        restarts = max(1, cfg.optimizer.pose_restarts)
+        if restarts > 1:
+            probe_steps = max(1, min(cfg.optimizer.pose_restart_steps,
+                                     n_iters))
+            best = None
+            for r in range(restarts):
+                phi0 = 2.0 * math.pi * r / restarts
+                phi0 = (phi0 + math.pi) % (2.0 * math.pi) - math.pi
+                cand, _ = init_tto_state(params["codes"], cfg.optimizer,
+                                         pose_init=(1.57, phi0, 1.30))
+                ckey = jax.random.fold_in(key, r)
+                for _ in range(probe_steps):
+                    ckey, k = jax.random.split(ckey)
+                    cand, m = tto_step(cand, params, harness.directions,
+                                       target, pose_gt, k)
+                probe_loss = float(jax.device_get(m.loss))
+                if best is None or probe_loss < best[0]:
+                    best = (probe_loss, cand, r)
+            tto = best[1]
+            if is_main_process():
+                print(f"[VALOPT] pose multi-start: continuing from init "
+                      f"{best[2]}/{restarts} (probe loss {best[0]:.5f})")
         then = time.time()
         for vi in range(n_iters):
             key, k = jax.random.split(key)

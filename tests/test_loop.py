@@ -83,3 +83,26 @@ class TestRunTraining:
         out = validate(harness, state.params, logger, iteration=0)
         assert np.isfinite(out["psnr"])
         logger.close()
+
+    def test_validation_multi_start_pose(self, synth_root, tmp_path, capsys):
+        """optimizer.pose_restarts probes several azimuth inits and
+        continues from the lowest-loss candidate (beyond-reference)."""
+        import dataclasses
+        from codenerf_tpu.harness import Harness, validate
+        from codenerf_tpu.train.state import init_train_state
+        from codenerf_tpu.utils.logging import MetricLogger
+
+        cfg = _cfg(synth_root, tmp_path)
+        cfg = dataclasses.replace(
+            cfg, optimizer=dataclasses.replace(
+                cfg.optimizer, pose_restarts=3, pose_restart_steps=2))
+        harness = Harness.from_config(cfg)
+        state, _ = init_train_state(jax.random.PRNGKey(0), cfg,
+                                    harness.settings,
+                                    harness.train_dataset.num_objects)
+        logger = MetricLogger(tmp_path / "valms", enable_tensorboard=False)
+        out = validate(harness, state.params, logger, iteration=0,
+                       val_iterations=3)
+        assert np.isfinite(out["psnr"])
+        assert "pose multi-start" in capsys.readouterr().out
+        logger.close()
