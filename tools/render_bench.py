@@ -29,16 +29,22 @@ from codenerf_tpu.config.schema import (
 from codenerf_tpu.pipeline import RenderSettings, render_rays, init_model
 
 
-def timed(name, fn, *args, steps=10):
-    out = fn(*args)
-    jax.block_until_ready(out)
+def timed(name, fn, *args, steps=20):
+    """In-jit chained timing: `fn` runs `steps` renders inside ONE jit
+    (lax.scan with an optimization_barrier dependency between
+    iterations) and the wall clock wraps a scalar device_get.  On the
+    tunneled platform this is the only honest pattern for forward-only
+    work: block_until_ready returns before device completion (a ~15 ms
+    render 'measures' 0.08 ms whatever host-side chaining is used —
+    PERF.md measurement gotchas), so the per-call tunnel RTT must be
+    amortized inside a single dispatch and the sync must fetch data."""
+    params, ro, rd, z = args
+    float(jax.device_get(fn(params, ro, rd, z)))  # compile + warm
     t0 = time.perf_counter()
-    for _ in range(steps):
-        out = fn(*args)
-    jax.block_until_ready(out)
+    checksum = float(jax.device_get(fn(params, ro, rd, z)))
     dt = (time.perf_counter() - t0) / steps
     print(f"{name:30s} {dt*1000:8.2f} ms   "
-          f"{args[2].shape[0]/dt:12.0f} rays/s")
+          f"{ro.shape[0]/dt:12.0f} rays/s   (checksum {checksum:.4f})")
     return dt
 
 
@@ -67,10 +73,18 @@ def main():
         settings = dataclasses.replace(base, use_pallas=use_pallas)
 
         @jax.jit
-        def render(params, ro, rd, z):
-            _, out_f = render_rays(params, settings, ro, rd, z, z, None,
-                                   False)
-            return out_f.rgb
+        def render(params, ro, rd, z, steps=20):
+            def body(carry, _):
+                ro_c, acc = carry
+                _, out_f = render_rays(params, settings, ro_c, rd, z, z,
+                                       None, False)
+                rgb = out_f.rgb
+                rgb_b, ro_n = jax.lax.optimization_barrier((rgb, ro_c))
+                return (ro_n, acc + rgb_b[0, 0]), None
+
+            (ro_f, acc), _ = jax.lax.scan(body, (ro, 0.0), None,
+                                          length=steps)
+            return acc
 
         timed(name, render, params, ro, rd, z)
 
