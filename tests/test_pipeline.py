@@ -109,10 +109,12 @@ class TestRenderRays:
         emb_xyz = pe_mod.PositionalEmbedder(10, True, True, torch.float32, "cpu")
         emb_dir = pe_mod.PositionalEmbedder(4, True, True, torch.float32, "cpu")
 
-        def ref_forward(model, rd_t, pts):
+        def ref_forward(model, rd_t, pts, zs_v=None, zt_v=None):
             nr, ns = pts.shape[0], pts.shape[1]
-            zs = torch.from_numpy(z_s)[:, None, :].expand(-1, ns, -1).reshape(-1, code)
-            zt = torch.from_numpy(z_t)[:, None, :].expand(-1, ns, -1).reshape(-1, code)
+            zs_v = torch.from_numpy(z_s) if zs_v is None else zs_v
+            zt_v = torch.from_numpy(z_t) if zt_v is None else zt_v
+            zs = zs_v[:, None, :].expand(-1, ns, -1).reshape(-1, code)
+            zt = zt_v[:, None, :].expand(-1, ns, -1).reshape(-1, code)
             flat = pts.reshape(-1, 3)
             e = emb_xyz.embed(flat)
             vd = rd_t / rd_t.norm(p=2, dim=-1).unsqueeze(-1)
@@ -138,6 +140,43 @@ class TestRenderRays:
                                    rgb_c.detach().numpy(), rtol=1e-4, atol=1e-5)
         np.testing.assert_allclose(np.asarray(out_f.rgb),
                                    rgb_f.detach().numpy(), rtol=1e-4, atol=1e-5)
+
+        # --- end-to-end GRADIENT parity (BASELINE.json: rendered RGB AND
+        # pixel gradients allclose) --- the full coarse->importance->fine
+        # loss backpropagated to codes and model weights in both stacks.
+        target_np = rng.uniform(size=(R, 3)).astype(np.float32)
+        target_t = torch.from_numpy(target_np)
+        zs_t = torch.from_numpy(z_s).clone().requires_grad_(True)
+        zt_t = torch.from_numpy(z_t).clone().requires_grad_(True)
+        raw_c2 = ref_forward(refs["coarse"], rd_t, pts_c, zs_t, zt_t)
+        rgb_c2, _, _, w_c2, _ = vr_mod.volume_render(raw_c2, z_c, rd_t)
+        pts_f2, z_f2 = point_sampler.sample_pdf(ro_t, rd_t,
+                                                w_c2[..., 1:-1], z_c)
+        raw_f2 = ref_forward(refs["fine"], rd_t, pts_f2, zs_t, zt_t)
+        rgb_f2 = vr_mod.volume_render(raw_f2, z_f2, rd_t)[0]
+        loss_t = (((rgb_c2 - target_t) ** 2).mean()
+                  + ((rgb_f2 - target_t) ** 2).mean())
+        loss_t.backward()
+
+        def loss_j(p, zs, zt):
+            oc, of = render_rays(p, s, jnp.asarray(ro), jnp.asarray(rd),
+                                 zs, zt, None, False)
+            t = jnp.asarray(target_np)
+            return (jnp.mean((oc.rgb - t) ** 2)
+                    + jnp.mean((of.rgb - t) ** 2))
+
+        gp, gzs, gzt = jax.grad(loss_j, argnums=(0, 1, 2))(
+            params, jnp.asarray(z_s), jnp.asarray(z_t))
+        np.testing.assert_allclose(np.asarray(gzs), zs_t.grad.numpy(),
+                                   rtol=1e-3, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(gzt), zt_t.grad.numpy(),
+                                   rtol=1e-3, atol=1e-6)
+        for mname in ("coarse", "fine"):
+            for lname in ("fc_rgb", "layer_xyz1", "shape_code_layer1"):
+                want = getattr(refs[mname], lname).weight.grad.numpy().T
+                got = np.asarray(gp[mname][lname]["w"])
+                np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-6,
+                                           err_msg=f"{mname}.{lname}")
 
     def test_gradient_flows_to_codes_and_params(self):
         s = _settings()
