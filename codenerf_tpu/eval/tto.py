@@ -40,6 +40,16 @@ class TTOState(NamedTuple):
     step: jax.Array
 
 
+class BatchedTTOMetrics(NamedTuple):
+    """Per-object [K] metric arrays from one batched TTO step."""
+    loss: jax.Array
+    loss_coarse: jax.Array
+    loss_fine: jax.Array
+    loss_embedding: jax.Array
+    psnr: jax.Array
+    pose_error: jax.Array
+
+
 class TTOMetrics(NamedTuple):
     loss: jax.Array
     loss_coarse: jax.Array
@@ -127,3 +137,132 @@ def make_tto_step(settings: RenderSettings, optimizer,
         return TTOState(variables, opt_state, state.step + 1), metrics
 
     return jax.jit(tto_step, donate_argnums=(0,))
+
+
+# ---------------------------------------------------------------------------
+# Batched multi-object TTO (beyond-reference)
+# ---------------------------------------------------------------------------
+#
+# The reference optimizes one unseen object at a time (eval.py:122-168); at
+# its validation shapes (4096 rays x 192 samples) a single object leaves the
+# chip badly underutilized.  Here K objects' TTO problems are solved in ONE
+# jitted step: each object draws its own pixel subset from its own target
+# view under its own candidate pose, the K ray batches concatenate into one
+# [K*R] render (codes are per-ray inputs already, so no model change), and
+# the per-object losses sum — gradients stay exactly per-object because
+# object k's loss depends only on object k's variables.  K=1 reproduces
+# make_tto_step bit-for-bit (same PRNG call structure; pinned by test).
+
+def init_batched_tto_state(code_tables, opt_cfg, num_objects: int,
+                           pose_init=(1.57, 0.0, 1.30)
+                           ) -> tuple[TTOState, object]:
+    """TTO state for K objects: variables carry a leading [K] axis.
+
+    ``pose_init`` entries may be scalars (shared init, the reference's
+    1.57/0/1.30) or [K] arrays (per-object inits for multi-start).
+    """
+    z_s0, z_t0 = mean_codes(code_tables)
+    K = num_objects
+    theta, phi, rho = (
+        jnp.broadcast_to(jnp.asarray(v, jnp.float32), (K,)) for v in pose_init)
+    variables = {
+        "z_s": jnp.broadcast_to(z_s0, (K, z_s0.shape[-1])),
+        "z_t": jnp.broadcast_to(z_t0, (K, z_t0.shape[-1])),
+        "theta": theta, "phi": phi, "rho": rho,
+    }
+    optimizer = build_tto_optimizer(opt_cfg)
+    return TTOState(variables, optimizer.init(variables),
+                    jnp.zeros((), jnp.int32)), optimizer
+
+
+def make_batched_tto_step(settings: RenderSettings, optimizer,
+                          num_random_rays: int, regularizer_lambda: float,
+                          perturb: bool, mesh=None) -> Callable:
+    """Build the jitted K-object TTO step.
+
+    Returned signature:
+      step(tto_state, model_params, directions, target_images, poses_gt, key)
+        -> (new_tto_state, BatchedTTOMetrics)
+
+    ``target_images``: [K, H, W, C] (one held-out view per object);
+    ``poses_gt``: [K, 4, 4], metric only.  The TTOState must come from
+    ``init_batched_tto_state`` with the same K.
+    """
+    R = num_random_rays
+
+    def loss_fn(variables, model_params, directions, target_images, key):
+        K = target_images.shape[0]
+        cam_poses = jax.vmap(pose_spherical)(
+            variables["theta"], variables["phi"], variables["rho"])
+        k_sel, k_render = jax.random.split(key)
+        H, W = directions.shape[:2]
+        ro, rd = ray_bundle(directions, cam_poses)          # [K, H, W, 3]
+        ro = ro.reshape(K, H * W, 3)
+        rd = rd.reshape(K, H * W, 3)
+        inds = select_ray_indices(k_sel, H * W, R, K)       # [K, R]
+        ro = jnp.take_along_axis(ro, inds[..., None], axis=1).reshape(K * R, 3)
+        rd = jnp.take_along_axis(rd, inds[..., None], axis=1).reshape(K * R, 3)
+        target = jnp.take_along_axis(
+            target_images.reshape(K, H * W, -1), inds[..., None], axis=1)
+        target = target.reshape(K * R, -1)
+        ro, rd, target = shard_rays(mesh, ro, rd, target)
+
+        z_s = jnp.broadcast_to(variables["z_s"][:, None, :],
+                               (K, R, variables["z_s"].shape[-1]))
+        z_t = jnp.broadcast_to(variables["z_t"][:, None, :],
+                               (K, R, variables["z_t"].shape[-1]))
+        out_c, out_f = render_rays(
+            {"coarse": model_params["coarse"], "fine": model_params["fine"]},
+            settings, ro, rd, z_s.reshape(K * R, -1), z_t.reshape(K * R, -1),
+            k_render, perturb)
+
+        err_c = (out_c.rgb - target[..., :3]) ** 2
+        err_f = (out_f.rgb - target[..., :3]) ** 2
+        loss_c = jnp.mean(err_c.reshape(K, R, 3), axis=(1, 2))     # [K]
+        loss_f = jnp.mean(err_f.reshape(K, R, 3), axis=(1, 2))     # [K]
+        # per-object expanded-code norm: ||broadcast [R, C]||_F = sqrt(R)||z||
+        # (reference eval.py:160 semantics, object-wise)
+        loss_e = regularizer_lambda * jnp.sqrt(float(R)) * (
+            jnp.linalg.norm(z_s[:, 0, :], axis=-1)
+            + jnp.linalg.norm(z_t[:, 0, :], axis=-1))              # [K]
+        per_object = loss_c + loss_f + loss_e
+        return jnp.sum(per_object), (loss_c, loss_f, loss_e, per_object,
+                                     cam_poses)
+
+    def tto_step(state: TTOState, model_params, directions, target_images,
+                 poses_gt, key):
+        (_, (loss_c, loss_f, loss_e, per_object, cam_poses)), grads = (
+            jax.value_and_grad(loss_fn, has_aux=True)(
+                state.variables, model_params, directions, target_images,
+                key))
+        updates, opt_state = optimizer.update(grads, state.opt_state,
+                                              state.variables)
+        variables = optax.apply_updates(state.variables, updates)
+        perr = jax.vmap(lie.pose_error)(poses_gt, cam_poses)
+        metrics = BatchedTTOMetrics(
+            loss=per_object, loss_coarse=loss_c, loss_fine=loss_f,
+            loss_embedding=loss_e, psnr=mse2psnr(loss_f), pose_error=perr)
+        return TTOState(variables, opt_state, state.step + 1), metrics
+
+    return jax.jit(tto_step, donate_argnums=(0,))
+
+
+def select_per_object(mask: jax.Array, winner: TTOState, other: TTOState
+                      ) -> TTOState:
+    """Per-object merge of two batched TTO states: where ``mask[k]`` take
+    ``winner``'s object k, else ``other``'s (variables AND optimizer
+    moments — every leaf with a leading [K] axis is selected object-wise;
+    [K]-agnostic leaves such as step counts are taken from ``winner``).
+
+    Used by multi-start pose TTO to keep, per object, the restart whose
+    probe loss is lowest.
+    """
+    K = mask.shape[0]
+
+    def pick(a, b):
+        if hasattr(a, "shape") and a.ndim >= 1 and a.shape[0] == K:
+            m = mask.reshape((K,) + (1,) * (a.ndim - 1))
+            return jnp.where(m, a, b)
+        return a
+
+    return jax.tree_util.tree_map(pick, winner, other)

@@ -22,6 +22,10 @@ def main():
     parser.add_argument("--rounds", type=int, default=None,
                         help="Number of validation rounds (default: "
                              "iterations // val_batch_size as the reference).")
+    parser.add_argument("--batch-objects", type=int, default=0,
+                        help="Solve this many unseen objects' TTO problems "
+                             "in ONE jitted step stream (beyond-reference "
+                             "batched TTO; 0 = reference per-object loop).")
     parser.add_argument("--multihost", action="store_true")
     parser.add_argument("--platform", type=str, default=None,
                         help="Force a jax platform (e.g. cpu for smoke runs).")
@@ -36,7 +40,7 @@ def main():
     if args.multihost:
         jax.distributed.initialize()
     from codenerf_tpu.config import load_config
-    from codenerf_tpu.harness import Harness, validate
+    from codenerf_tpu.harness import Harness, validate, validate_batched
     from codenerf_tpu.train.state import init_train_state
     from codenerf_tpu.train import checkpoint
     from codenerf_tpu.utils.logging import MetricLogger
@@ -57,12 +61,15 @@ def main():
         state = jax.device_put(state, replicated_sharding(harness.mesh))
     print(f"Restored checkpoint at step {int(state.step)}")
 
-    rounds = args.rounds
-    if rounds is None:
-        rounds = max(1, cfg.experiment.iterations
-                     // max(1, cfg.dataset.val_batch_size))
-    for iteration in range(rounds):
-        validate(harness, state.params, logger, iteration)
+    if args.batch_objects:
+        validate_batched(harness, state.params, logger, args.batch_objects)
+    else:
+        rounds = args.rounds
+        if rounds is None:
+            rounds = max(1, cfg.experiment.iterations
+                         // max(1, cfg.dataset.val_batch_size))
+        for iteration in range(rounds):
+            validate(harness, state.params, logger, iteration)
     logger.close()
 
 

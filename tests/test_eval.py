@@ -7,6 +7,8 @@ import jax.numpy as jnp
 
 from codenerf_tpu.core.geometry import pixel_directions, pose_spherical
 from codenerf_tpu.eval import init_tto_state, make_tto_step, make_image_renderer
+from codenerf_tpu.eval.tto import (init_batched_tto_state,
+                                   make_batched_tto_step, select_per_object)
 from codenerf_tpu.models import init_code_tables
 from codenerf_tpu.parallel import make_mesh
 from codenerf_tpu.pipeline import RenderSettings, init_model
@@ -62,6 +64,107 @@ class TestTTO:
         assert np.isfinite(perrs).all()
         # model weights were never touched
         assert int(tto.step) == 20
+
+
+class TestBatchedTTO:
+    """Batched multi-object TTO (beyond-reference, eval/tto.py)."""
+
+    def test_k1_matches_unbatched(self):
+        """K=1 batched step reproduces the single-object step exactly
+        (same PRNG call structure by construction)."""
+        cfg, settings, state, dirs = _setup()
+        pose_gt = pose_spherical(1.8, 0.3, 1.5)
+        target = jnp.full((8, 8, 3), 0.4)
+
+        tto_u, opt_u = init_tto_state(state.params["codes"], cfg.optimizer)
+        step_u = make_tto_step(settings, opt_u, num_random_rays=32,
+                               regularizer_lambda=1e-5, perturb=True)
+        tto_b, opt_b = init_batched_tto_state(state.params["codes"],
+                                              cfg.optimizer, 1)
+        step_b = make_batched_tto_step(settings, opt_b, num_random_rays=32,
+                                       regularizer_lambda=1e-5, perturb=True)
+
+        key = jax.random.PRNGKey(7)
+        for _ in range(3):
+            key, k = jax.random.split(key)
+            tto_u, m_u = step_u(tto_u, state.params, dirs, target, pose_gt, k)
+            tto_b, m_b = step_b(tto_b, state.params, dirs, target[None],
+                                pose_gt[None], k)
+        np.testing.assert_allclose(np.asarray(tto_b.variables["z_s"][0]),
+                                   np.asarray(tto_u.variables["z_s"][0]),
+                                   rtol=2e-5, atol=1e-7)
+        np.testing.assert_allclose(
+            float(tto_b.variables["theta"][0]),
+            float(tto_u.variables["theta"][0]), rtol=1e-5)
+        np.testing.assert_allclose(float(m_b.loss[0]),
+                                   float(m_u.loss), rtol=1e-5)
+        np.testing.assert_allclose(float(m_b.pose_error[0]),
+                                   float(m_u.pose_error), rtol=1e-5)
+
+    def test_objects_are_independent(self):
+        """Changing object 1's target must not change object 0's update."""
+        cfg, settings, state, dirs = _setup()
+        poses_gt = jnp.stack([pose_spherical(1.8, 0.3, 1.5),
+                              pose_spherical(1.5, -0.4, 1.2)])
+        t0 = jnp.full((8, 8, 3), 0.4)
+        tA = jnp.stack([t0, jnp.full((8, 8, 3), 0.7)])
+        tB = jnp.stack([t0, jnp.full((8, 8, 3), 0.1)])
+
+        key = jax.random.PRNGKey(3)
+        outs = []
+        for targets in (tA, tB):
+            tto, opt = init_batched_tto_state(state.params["codes"],
+                                              cfg.optimizer, 2)
+            step = make_batched_tto_step(settings, opt, num_random_rays=32,
+                                         regularizer_lambda=1e-5,
+                                         perturb=True)
+            s, m = step(tto, state.params, dirs, targets, poses_gt, key)
+            outs.append((s, m))
+        (sA, mA), (sB, mB) = outs
+        # object 0: identical update and loss
+        np.testing.assert_allclose(np.asarray(sA.variables["z_s"][0]),
+                                   np.asarray(sB.variables["z_s"][0]),
+                                   rtol=1e-6, atol=0)
+        np.testing.assert_allclose(float(mA.loss[0]), float(mB.loss[0]),
+                                   rtol=1e-6)
+        # object 1: different targets -> different losses
+        assert abs(float(mA.loss[1]) - float(mB.loss[1])) > 1e-4
+
+    def test_batched_tto_optimizes_all_objects(self):
+        cfg, settings, state, dirs = _setup()
+        K = 3
+        poses_gt = jnp.stack([pose_spherical(1.8, 0.3, 1.5)] * K)
+        targets = jnp.stack([jnp.full((8, 8, 3), 0.2 + 0.25 * i)
+                             for i in range(K)])
+        tto, opt = init_batched_tto_state(state.params["codes"],
+                                          cfg.optimizer, K)
+        step = make_batched_tto_step(settings, opt, num_random_rays=32,
+                                     regularizer_lambda=1e-5, perturb=True)
+        key = jax.random.PRNGKey(5)
+        first = None
+        for _ in range(20):
+            key, k = jax.random.split(key)
+            tto, m = step(tto, state.params, dirs, targets, poses_gt, k)
+            if first is None:
+                first = np.asarray(m.loss)
+        last = np.asarray(m.loss)
+        assert (last < first).all(), (first, last)
+        assert np.isfinite(np.asarray(m.pose_error)).all()
+
+    def test_select_per_object_merges_statewise(self):
+        cfg, settings, state, dirs = _setup()
+        a, _ = init_batched_tto_state(state.params["codes"], cfg.optimizer, 2,
+                                      pose_init=(1.0, 0.5, 1.1))
+        b, _ = init_batched_tto_state(state.params["codes"], cfg.optimizer, 2,
+                                      pose_init=(2.0, -0.5, 1.9))
+        merged = select_per_object(jnp.asarray([True, False]), a, b)
+        assert float(merged.variables["theta"][0]) == pytest.approx(1.0)
+        assert float(merged.variables["theta"][1]) == pytest.approx(2.0)
+        assert float(merged.variables["phi"][0]) == pytest.approx(0.5)
+        assert float(merged.variables["phi"][1]) == pytest.approx(-0.5)
+        # z codes identical in both inits -> unchanged by the merge
+        np.testing.assert_allclose(np.asarray(merged.variables["z_s"]),
+                                   np.asarray(a.variables["z_s"]))
 
 
 class TestImageRenderer:
