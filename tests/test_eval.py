@@ -151,6 +151,32 @@ class TestBatchedTTO:
         assert (last < first).all(), (first, last)
         assert np.isfinite(np.asarray(m.pose_error)).all()
 
+    def test_meshed_batched_step_matches_single_device(self):
+        """Sharding the K*R ray axis over the mesh must not change the
+        update (the DP-2 invariant, extended to batched TTO)."""
+        cfg, settings, state, dirs = _setup()
+        K = 2
+        poses_gt = jnp.stack([pose_spherical(1.8, 0.3, 1.5),
+                              pose_spherical(1.5, -0.4, 1.2)])
+        targets = jnp.stack([jnp.full((8, 8, 3), 0.4),
+                             jnp.full((8, 8, 3), 0.7)])
+        key = jax.random.PRNGKey(11)
+        results = []
+        for mesh in (None, make_mesh()):
+            tto, opt = init_batched_tto_state(state.params["codes"],
+                                              cfg.optimizer, K)
+            step = make_batched_tto_step(settings, opt, num_random_rays=32,
+                                         regularizer_lambda=1e-5,
+                                         perturb=True, mesh=mesh)
+            s, m = step(tto, state.params, dirs, targets, poses_gt, key)
+            results.append((s, m))
+        (s1, m1), (s2, m2) = results
+        np.testing.assert_allclose(np.asarray(m1.loss), np.asarray(m2.loss),
+                                   rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(s1.variables["z_s"]),
+                                   np.asarray(s2.variables["z_s"]),
+                                   rtol=1e-4, atol=1e-7)
+
     def test_select_per_object_merges_statewise(self):
         cfg, settings, state, dirs = _setup()
         a, _ = init_batched_tto_state(state.params["codes"], cfg.optimizer, 2,
