@@ -157,6 +157,43 @@ def test_eval_cli_tto_round_trip(synth_root, tmp_path):
     assert "[VAL   ]" in res.stdout
 
 
+def test_eval_cli_batched_tto(synth_root, tmp_path):
+    """--batch-objects: K objects' TTO problems in one jitted step stream,
+    with per-object multi-start pose probing."""
+    shrink = [
+        "nerf.ray_sampler.num_random_rays=16",
+        "nerf.point_sampler.num_coarse=4", "nerf.point_sampler.num_fine=4",
+        "models.nerf_coarse.hidden_size=8", "models.nerf_fine.hidden_size=8",
+        "models.embedding.shape_code_size=8",
+        "models.embedding.texture_code_size=8",
+        "nerf.embedder.num_encoding_fn_xyz=2",
+        "nerf.embedder.num_encoding_fn_dir=2",
+        "runtime.compute_dtype=float32",
+    ]
+    res = subprocess.run(
+        [sys.executable, "train.py", "-c", "configs/synth-smoke.yml",
+         "--platform", "cpu", "--max-steps", "2",
+         f"dataset.basedir={synth_root}",
+         f"experiment.logdir={tmp_path}/logs", "experiment.id=bt",
+         "experiment.print_every=1", "experiment.save_every=2"] + shrink,
+        cwd=ROOT, capture_output=True, text=True, timeout=300)
+    assert res.returncode == 0, res.stderr[-2000:]
+    res = subprocess.run(
+        [sys.executable, "eval.py", "-c", "configs/synth-smoke.yml",
+         "--platform", "cpu",
+         "--load-checkpoint", str(tmp_path / "logs" / "bt" / "checkpoints"),
+         "--batch-objects", "3",
+         f"dataset.basedir={synth_root}",
+         f"experiment.logdir={tmp_path}/logs", "experiment.id=bt",
+         "experiment.val_iterations=3", "optimizer.pose_restarts=2",
+         "optimizer.pose_restart_steps=2"] + shrink,
+        cwd=ROOT, capture_output=True, text=True, timeout=300)
+    assert res.returncode == 0, res.stderr[-2000:]
+    assert "batched pose multi-start" in res.stdout
+    assert "batched TTO: 3 objects" in res.stdout
+    assert "PSNR mean" in res.stdout
+
+
 def test_train_cli_rejects_bad_override(synth_root, tmp_path):
     res = subprocess.run(
         [sys.executable, "train.py", "-c", "configs/synth-smoke.yml",
