@@ -191,21 +191,27 @@ def _finish_validation(harness, target, rgb, logger, iteration,
     return out
 
 
-def _collect_val_objects(harness: Harness, num_objects: int):
-    """First held-out view of up to ``num_objects`` DISTINCT objects from the
-    val split (wrapping to later views when the split has fewer objects)."""
+def _distinct_val_objects(harness: Harness):
+    """First held-out view of EVERY distinct object in the val split,
+    in dataset order."""
     ds = harness.val_dataset
-    n = len(ds)
     picked, seen = [], set()
-    for i in range(n):
+    for i in range(len(ds)):
         s = ds[i]
         oid = int(s.get("object_id", i)) if isinstance(s, dict) else i
         if oid in seen:
             continue
         seen.add(oid)
         picked.append(s)
-        if len(picked) == num_objects:
-            break
+    return picked
+
+
+def _collect_val_objects(harness: Harness, num_objects: int):
+    """First held-out view of up to ``num_objects`` DISTINCT objects from the
+    val split (wrapping to later views when the split has fewer objects)."""
+    ds = harness.val_dataset
+    n = len(ds)
+    picked = _distinct_val_objects(harness)[:num_objects]
     i = 0
     while len(picked) < num_objects and n:  # wrap: reuse views round-robin
         picked.append(ds[i % n])
@@ -214,7 +220,8 @@ def _collect_val_objects(harness: Harness, num_objects: int):
 
 
 def validate_batched(harness: Harness, params: dict, logger: MetricLogger,
-                     num_objects: int, val_iterations: Optional[int] = None
+                     num_objects: int, val_iterations: Optional[int] = None,
+                     samples: Optional[list] = None, iteration: int = 0
                      ) -> dict:
     """Batched multi-object TTO validation (beyond-reference).
 
@@ -230,7 +237,9 @@ def validate_batched(harness: Harness, params: dict, logger: MetricLogger,
     cfg = harness.cfg
     assert harness.has_codes, "batched TTO requires a CodeNeRF model"
     K = num_objects
-    samples = _collect_val_objects(harness, K)
+    if samples is None:
+        samples = _collect_val_objects(harness, K)
+    assert len(samples) == K, (len(samples), K)
     targets = jnp.asarray(np.stack([s["color"] for s in samples]))
     poses_gt = jnp.asarray(np.stack([s["pose"] for s in samples]))
 
@@ -318,7 +327,7 @@ def validate_batched(harness: Harness, params: dict, logger: MetricLogger,
             "pose_error": float(jax.device_get(m.pose_error[kk])),
         })
         if is_main_process():
-            logger.log_image(f"val/rgb_image_obj{kk}", 0,
+            logger.log_image(f"val/rgb_image_obj{kk}", iteration,
                              np.asarray(rgb_img))
     out = {
         "num_objects": K,
@@ -329,7 +338,7 @@ def validate_batched(harness: Harness, params: dict, logger: MetricLogger,
         "per_object": per_object,
     }
     if is_main_process():
-        logger.log_scalars("val", 0, {
+        logger.log_scalars("val", iteration, {
             "psnr_mean": out["psnr_mean"], "ssim_mean": out["ssim_mean"],
             "objects_per_min": out["objects_per_min"]})
         print(f"[VAL   ] batched TTO: {K} objects in {tto_secs:.1f}s "
@@ -337,3 +346,46 @@ def validate_batched(harness: Harness, params: dict, logger: MetricLogger,
               f"PSNR mean {out['psnr_mean']:.2f}, "
               f"SSIM mean {out['ssim_mean']:.3f}")
     return out
+
+
+def validate_category(harness: Harness, params: dict, logger: MetricLogger,
+                      batch_objects: int,
+                      val_iterations: Optional[int] = None) -> dict:
+    """Category-level evaluation protocol: TTO + render for EVERY distinct
+    object in the val split, processed in ``batch_objects``-sized batched
+    groups (one compiled step shape reused across groups; short tail
+    groups are padded by repeating the first object and the pads are
+    excluded from reporting).  Prints a per-object table + category means
+    — the evaluation protocol of the CodeNeRF paper, which the reference
+    harness only approximates one hand-picked view at a time.
+    """
+    assert harness.has_codes, "category evaluation requires a CodeNeRF model"
+    K = max(1, batch_objects)
+    objects = _distinct_val_objects(harness)
+    rows = []
+    for g0 in range(0, len(objects), K):
+        group = objects[g0:g0 + K]
+        real = len(group)
+        padded = group + [group[0]] * (K - real)
+        out = validate_batched(harness, params, logger, K,
+                               val_iterations=val_iterations,
+                               samples=padded, iteration=g0 // K)
+        rows.extend(out["per_object"][:real])
+    summary = {
+        "num_objects": len(rows),
+        "psnr_mean": float(np.mean([r["psnr"] for r in rows])),
+        "ssim_mean": float(np.mean([r["ssim"] for r in rows])),
+        "pose_error_mean": float(np.mean([r["pose_error"] for r in rows])),
+        "per_object": rows,
+    }
+    if is_main_process():
+        print(f"[VAL   ] category evaluation over {len(rows)} objects "
+              f"(groups of {K}):")
+        print("  object |   PSNR |  SSIM | pose err")
+        for i, r in enumerate(rows):
+            print(f"  {i:6d} | {r['psnr']:6.2f} | {r['ssim']:.3f} "
+                  f"| {r['pose_error']:.3f}")
+        print(f"  mean   | {summary['psnr_mean']:6.2f} "
+              f"| {summary['ssim_mean']:.3f} "
+              f"| {summary['pose_error_mean']:.3f}")
+    return summary

@@ -26,6 +26,11 @@ def main():
                         help="Solve this many unseen objects' TTO problems "
                              "in ONE jitted step stream (beyond-reference "
                              "batched TTO; 0 = reference per-object loop).")
+    parser.add_argument("--all-objects", action="store_true",
+                        help="Category evaluation protocol: run TTO + "
+                             "render for EVERY distinct val object, in "
+                             "--batch-objects-sized groups, and print a "
+                             "per-object table + category means.")
     parser.add_argument("--multihost", action="store_true")
     parser.add_argument("--platform", type=str, default=None,
                         help="Force a jax platform (e.g. cpu for smoke runs).")
@@ -40,7 +45,8 @@ def main():
     if args.multihost:
         jax.distributed.initialize()
     from codenerf_tpu.config import load_config
-    from codenerf_tpu.harness import Harness, validate, validate_batched
+    from codenerf_tpu.harness import (Harness, validate, validate_batched,
+                                      validate_category)
     from codenerf_tpu.train.state import init_train_state
     from codenerf_tpu.train import checkpoint
     from codenerf_tpu.utils.logging import MetricLogger
@@ -61,7 +67,10 @@ def main():
         state = jax.device_put(state, replicated_sharding(harness.mesh))
     print(f"Restored checkpoint at step {int(state.step)}")
 
-    if args.batch_objects:
+    if args.all_objects:
+        validate_category(harness, state.params, logger,
+                          args.batch_objects or 4)
+    elif args.batch_objects:
         validate_batched(harness, state.params, logger, args.batch_objects)
     else:
         rounds = args.rounds
