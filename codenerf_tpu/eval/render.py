@@ -10,14 +10,30 @@ each chunk's ray axis is sharded over the mesh; XLA inserts the gather.
 
 from __future__ import annotations
 
+import dataclasses
 from typing import Callable
 
 import jax
 import jax.numpy as jnp
 
 from codenerf_tpu.core.geometry import ray_bundle
+from codenerf_tpu.models.mlp import CodeNeRFConfig
 from codenerf_tpu.parallel.mesh import shard_rays
 from codenerf_tpu.pipeline import RenderSettings, render_rays
+
+
+def serving_settings(settings: RenderSettings) -> RenderSettings:
+    """Forward-only variant of ``settings``: enables the split-fc_out
+    layout lever on CodeNeRF models (565k -> 825k rays/s serving; see
+    CodeNeRFConfig.split_fc_out — slower under grad, so only
+    grad-free paths use this)."""
+    def split(cfg):
+        if isinstance(cfg, CodeNeRFConfig):
+            return dataclasses.replace(cfg, split_fc_out=True)
+        return cfg
+    return dataclasses.replace(settings,
+                               coarse_cfg=split(settings.coarse_cfg),
+                               fine_cfg=split(settings.fine_cfg))
 
 
 def make_image_renderer(settings: RenderSettings, height: int, width: int,
@@ -32,6 +48,7 @@ def make_image_renderer(settings: RenderSettings, height: int, width: int,
     (perturb off), as the reference does for validation renders
     (nerf/__init__.py:205 uses rgb_fine; models in eval mode).
     """
+    settings = serving_settings(settings)
     num_rays = height * width
     if mesh is not None and mesh.size > 1:
         # keep each chunk divisible by the mesh for an even ray split

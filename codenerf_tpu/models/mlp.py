@@ -60,6 +60,13 @@ class CodeNeRFConfig:
     # single-pass Pallas backward for the trunk linear+relu layers
     # (ops/layer_bwd.py); forward stays XLA.  TPU only.
     pallas_layer_bwd: bool = False
+    # split fc_out into separate sigma/feat matmuls.  Serving-only lever:
+    # consuming the fused [.., 257] output is FASTER under grad (one dw
+    # matmul, the slice fuses into the backward: 179k vs 159k rays/s
+    # fwd+bwd) but forces a lane-misaligned slice + two layout transposes
+    # in the forward-only render (~40% of serving time: 565k -> 825k
+    # rays/s split).  The image renderer enables this automatically.
+    split_fc_out: bool = False
 
     @property
     def dim_xyz(self) -> int:

@@ -239,12 +239,15 @@ def apply_codenerf_rays(params, cfg: CodeNeRFConfig, xyz_enc: jax.Array,
     # DCEs it, the kernel can't.
     x = _lin_relu(params["layer_xyz1"], xyz_enc, cd)
     x = dar(x, w2_top, zs1_part[:, None, :])
-    if pl_bwd:
-        # split fc_out into separate sigma/feat matmuls: slicing the
-        # fused [.., 257] output produces a lane-misaligned slice + a
-        # layout transpose ahead of the dir1 backward kernel (profiled
-        # ~3.3 ms/step of pure copies); two matmuls cost the same FLOPs
-        # and keep feat in the kernel's layout
+    if pl_bwd or cfg.split_fc_out:
+        # fc_out split into separate sigma/feat matmuls: consuming the
+        # fused [.., 257] output forces a lane-misaligned slice plus
+        # layout transposes around the dir-layer chain — ~40% of the
+        # forward-only serving render (565k -> 825k rays/s split, see
+        # CodeNeRFConfig.split_fc_out) and ~3.3 ms/step of copies ahead
+        # of the dir1 backward kernel in the pallas_layer_bwd path.
+        # Under grad the fused form wins (one dw matmul; the slice fuses
+        # into the backward), so training keeps it.
         sigma = _mm(x, wo_top[:, :1], cd) + zs2_part[:, None, :1]
         feat = _mm(x, wo_top[:, 1:], cd) + zs2_part[:, None, 1:]
     else:

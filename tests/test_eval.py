@@ -233,6 +233,29 @@ class TestImageRenderer:
         np.testing.assert_allclose(np.asarray(r1), np.asarray(r2),
                                    rtol=1e-5, atol=1e-6)
 
+    def test_split_fc_out_matches_fused(self):
+        """The serving-only split-fc_out layout lever must not change the
+        rendered values (each output column accumulates identically)."""
+        import dataclasses as dc
+        from codenerf_tpu.eval.render import serving_settings
+        from codenerf_tpu.pipeline import render_rays
+        cfg, settings, state, dirs = _setup()
+        params = {"coarse": state.params["coarse"],
+                  "fine": state.params["fine"]}
+        rng = np.random.default_rng(2)
+        ro = jnp.asarray(rng.normal(size=(16, 3)), jnp.float32)
+        rd = jnp.asarray(rng.normal(size=(16, 3)), jnp.float32)
+        z = jnp.asarray(rng.normal(size=(16, 16)) * 0.1, jnp.float32)
+        split = serving_settings(settings)
+        assert split.fine_cfg.split_fc_out and not settings.fine_cfg.split_fc_out
+        _, f1 = render_rays(params, settings, ro, rd, z, z, None, False)
+        _, f2 = render_rays(params, split, ro, rd, z, z, None, False)
+        np.testing.assert_allclose(np.asarray(f1.rgb), np.asarray(f2.rgb),
+                                   rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(f1.weights),
+                                   np.asarray(f2.weights),
+                                   rtol=1e-5, atol=1e-6)
+
     def test_vanilla_render_without_codes(self):
         cfg, settings, state, dirs = _setup("FlexibleNeRFModel")
         render = make_image_renderer(settings, 8, 8, chunksize=32)

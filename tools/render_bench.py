@@ -26,6 +26,7 @@ from codenerf_tpu.config.schema import (
     Config, ModelsConfig, ModelSpec, EmbeddingSpec, NerfConfig,
     PointSamplerConfig, RuntimeConfig,
 )
+from codenerf_tpu.eval.render import serving_settings
 from codenerf_tpu.pipeline import RenderSettings, render_rays, init_model
 
 
@@ -70,7 +71,10 @@ def main():
     z = jnp.asarray(rng.normal(size=(R, C)) * 0.1, jnp.float32)
 
     for name, use_pallas in [("XLA fwd-only", False), ("Pallas fwd-only", True)]:
-        settings = dataclasses.replace(base, use_pallas=use_pallas)
+        # serving_settings enables split_fc_out — the image renderer's
+        # actual configuration (565k -> 825k rays/s; PERF.md session 5)
+        settings = serving_settings(
+            dataclasses.replace(base, use_pallas=use_pallas))
 
         @jax.jit
         def render(params, ro, rd, z, steps=20):
