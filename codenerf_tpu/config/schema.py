@@ -206,6 +206,12 @@ class RuntimeConfig:
     # wrap the train step in jax.experimental.checkify NaN/div guards
     # (debugging aid; costs performance)
     checkify: bool = False
+    # during validation, ALSO render each final image through the int8
+    # serving path (models/quantized.py: s8xs8 MXU matmuls, int8
+    # activation chain) and report its PSNR/SSIM next to the full-
+    # precision render — the quality A/B for the quantized server.
+    # CodeNeRF models only.
+    int8_serving: bool = False
 
 
 @dataclass(frozen=True)

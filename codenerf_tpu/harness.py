@@ -166,10 +166,40 @@ def validate(harness: Harness, params: dict, logger: MetricLogger,
                                   tto.variables["phi"], tto.variables["rho"])
         rgb = render(model_params, harness.directions, cam_pose,
                      tto.variables["z_s"], tto.variables["z_t"])
-    else:
-        rgb = render(model_params, harness.directions, pose_gt, None, None)
+        out = _finish_validation(harness, target, rgb, logger, iteration)
+        if cfg.runtime.int8_serving:
+            qp = _int8_render_params(harness, model_params, cam_pose,
+                                     tto.variables["z_s"],
+                                     tto.variables["z_t"])
+            rgb_q = render(qp, harness.directions, cam_pose,
+                           tto.variables["z_s"], tto.variables["z_t"])
+            q = _finish_validation(harness, target, rgb_q, logger,
+                                   iteration, tag="val-int8")
+            out.update({"psnr_int8": q["psnr"], "ssim_int8": q["ssim"]})
+        return out
+    rgb = render(model_params, harness.directions, pose_gt, None, None)
 
     return _finish_validation(harness, target, rgb, logger, iteration)
+
+
+def _int8_render_params(harness: Harness, model_params: dict,
+                        cam_pose: jax.Array, z_s: jax.Array, z_t: jax.Array,
+                        n_rays: int = 4096) -> dict:
+    """Calibrate + quantize the models for int8 serving
+    (models/quantized.py) on rays cast from the render pose itself —
+    the activation ranges the quantized render will actually see."""
+    from codenerf_tpu.core.geometry import ray_bundle
+    from codenerf_tpu.models.quantized import quantize_for_serving
+    dirs = harness.directions.reshape(-1, 3)
+    n = min(n_rays, dirs.shape[0])
+    idx = np.random.default_rng(0).choice(dirs.shape[0], n, replace=False)
+    ro, rd = ray_bundle(dirs[idx][None], cam_pose[None])
+    ro = ro.reshape(n, 3)
+    rd = rd.reshape(n, 3)
+    zs = jnp.broadcast_to(z_s, (n, z_s.shape[-1]))
+    zt = jnp.broadcast_to(z_t, (n, z_t.shape[-1]))
+    return quantize_for_serving(model_params, harness.settings, ro, rd,
+                                zs, zt)
 
 
 def _finish_validation(harness, target, rgb, logger, iteration,
@@ -181,7 +211,7 @@ def _finish_validation(harness, target, rgb, logger, iteration,
     ssim_val = float(ssim(rgb_img, jnp.clip(target[..., :3], 0.0, 1.0)))
     out = {"loss": mse, "psnr": psnr, "ssim": ssim_val}
     if is_main_process():
-        line = logger.log_scalars("val", iteration, out)
+        line = logger.log_scalars(tag, iteration, out)
         print(line)
         img = np.clip(np.asarray(rgb).reshape(harness.height, harness.width, 3),
                       0.0, 1.0)
@@ -321,11 +351,21 @@ def validate_batched(harness: Harness, params: dict, logger: MetricLogger,
         mse = float(jnp.mean((rgb - tflat[..., :3]) ** 2))
         rgb_img = jnp.clip(rgb.reshape(harness.height, harness.width, 3),
                            0.0, 1.0)
-        per_object.append({
+        row = {
             "psnr": float(mse2psnr(jnp.asarray(mse))),
             "ssim": float(ssim(rgb_img, jnp.clip(target[..., :3], 0.0, 1.0))),
             "pose_error": float(jax.device_get(m.pose_error[kk])),
-        })
+        }
+        if cfg.runtime.int8_serving:
+            qp = _int8_render_params(harness, model_params, cam_pose,
+                                     tto.variables["z_s"][kk:kk + 1],
+                                     tto.variables["z_t"][kk:kk + 1])
+            rgb_q = render(qp, harness.directions, cam_pose,
+                           tto.variables["z_s"][kk:kk + 1],
+                           tto.variables["z_t"][kk:kk + 1])
+            mse_q = float(jnp.mean((rgb_q - tflat[..., :3]) ** 2))
+            row["psnr_int8"] = float(mse2psnr(jnp.asarray(mse_q)))
+        per_object.append(row)
         if is_main_process():
             logger.log_image(f"val/rgb_image_obj{kk}", iteration,
                              np.asarray(rgb_img))

@@ -1,0 +1,247 @@
+"""Int8-quantized CodeNeRF serving path (weights + activations).
+
+Forward-only rendering is HBM-bandwidth-bound on the per-sample MLP trunk
+(PERF.md roofline: ~123 bf16 flops/byte at hidden=256 vs the ~240 needed to
+be compute-bound on v5e).  Quantizing the trunk's [R*S, hidden] activation
+chain and its weights to int8 halves the streamed bytes per layer — the
+quantize (scale, round, clip, cast) is elementwise and fuses into each
+matmul's epilogue, so only int8 tensors cross HBM between layers — and the
+s8 x s8 -> s32 matmuls run natively on the MXU at 2x the bf16 peak.
+
+Scheme: symmetric per-tensor activation scales (statically calibrated from
+one representative forward — dynamic per-call amax would force an extra
+f32 pass over every activation and erase the win) and per-output-channel
+weight scales.  Only the per-sample trunk matmuls are quantized; the
+per-ray conditioning precomputations (cost independent of the sample
+count; reference model.py:149-151,174-175) stay in the bf16/f32 path.
+
+This is a SERVING lever: quantization is not differentiable (round has a
+zero gradient), so training and TTO never touch it.  The reference has no
+quantized path; this is a beyond-reference capability of the TPU build.
+
+Usage:
+    qparams = quantize_for_serving(params, settings, ro, rd, z_s, z_t)
+    renderer = make_image_renderer(settings, H, W)   # detects qparams
+    img = renderer(qparams, directions, pose, z_s, z_t)
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from codenerf_tpu.models.mlp import CodeNeRFConfig
+from codenerf_tpu.models.ray_structured import _lin_relu, _mm, _split_w
+
+# Activations captured for calibration, in trunk order.  Every name is the
+# INPUT of one or more quantized matmuls (fc_out's sigma and feat matmuls
+# share x2; see apply_codenerf_rays_q).
+ACT_NAMES = ("x1", "x2", "feat", "v1", "v2")
+
+
+def quantize_tensor(x: jax.Array, scale: jax.Array) -> jax.Array:
+    """Symmetric int8 quantization: round(x / scale) clipped to [-127, 127]."""
+    q = jnp.round(x.astype(jnp.float32) / scale)
+    return jnp.clip(q, -127.0, 127.0).astype(jnp.int8)
+
+
+def quantize_weight(w: jax.Array):
+    """Per-output-channel symmetric int8: returns (wq [in, out] int8, sw [out])."""
+    amax = jnp.max(jnp.abs(w.astype(jnp.float32)), axis=0)
+    sw = jnp.maximum(amax, 1e-12) / 127.0
+    return quantize_tensor(w, sw[None, :]), sw
+
+
+def _qdot(xq: jax.Array, wq: jax.Array, scale: jax.Array) -> jax.Array:
+    """s8 x s8 -> s32 matmul, rescaled to f32.  `scale` is s_act * sw [out]."""
+    y = jnp.dot(xq, wq, preferred_element_type=jnp.int32)
+    return y.astype(jnp.float32) * scale
+
+
+def _per_ray_parts(params, cfg: CodeNeRFConfig, dir_enc, z_s, z_t):
+    """The per-ray conditioning precomputations of apply_codenerf_rays
+    (reference model.py:149-151,174-175 run once per ray, not per sample)."""
+    cd = cfg._cdtype
+    h = cfg.hidden_size
+    if cd is not None:
+        dir_enc = dir_enc.astype(cd)
+        z_s = z_s.astype(cd)
+        z_t = z_t.astype(cd)
+
+    def bias(y, b):
+        return y + b.astype(y.dtype)
+
+    zs1 = _lin_relu(params["shape_code_layer1"], z_s, cd)
+    zs2 = _lin_relu(params["shape_code_layer2"], z_s, cd)
+    zt1 = _lin_relu(params["texture_code_layer1"], z_t, cd)
+
+    _, w2_bot = _split_w(params["layer_xyz2"], h)
+    zs1_part = bias(_mm(zs1, w2_bot, cd), params["layer_xyz2"]["b"])
+    _, wo_bot = _split_w(params["fc_out"], h)
+    zs2_part = bias(_mm(zs2, wo_bot, cd), params["fc_out"]["b"])
+    _, wd_bot = _split_w(params["layer_dir1"], cfg.shape_code_size)
+    dir_part = bias(_mm(dir_enc, wd_bot, cd), params["layer_dir1"]["b"])
+    _, wr_bot = _split_w(params["fc_rgb"], h)
+    zt1_part = bias(_mm(zt1, wr_bot, cd), params["fc_rgb"]["b"])
+    return zs1_part, zs2_part, dir_part, zt1_part
+
+
+def trunk_activation_amax(params, cfg: CodeNeRFConfig, xyz_enc, dir_enc,
+                          z_s, z_t) -> dict:
+    """Run the (bf16/f32) trunk and capture per-tensor amax of every
+    quantized-matmul input.  Same math as apply_codenerf_rays."""
+    cd = cfg._cdtype
+    h = cfg.hidden_size
+    if cd is not None:
+        xyz_enc = xyz_enc.astype(cd)
+    zs1_part, zs2_part, dir_part, zt1_part = _per_ray_parts(
+        params, cfg, dir_enc, z_s, z_t)
+    w2_top, _ = _split_w(params["layer_xyz2"], h)
+    wo_top, _ = _split_w(params["fc_out"], h)
+    wd_top, _ = _split_w(params["layer_dir1"], cfg.shape_code_size)
+    wr_top, _ = _split_w(params["fc_rgb"], h)
+
+    amax = {}
+
+    def cap(name, x):
+        amax[name] = jnp.max(jnp.abs(x.astype(jnp.float32)))
+        return x
+
+    x1 = cap("x1", jax.nn.relu(_mm(xyz_enc, params["layer_xyz1"]["w"], cd)
+                               + params["layer_xyz1"]["b"].astype(
+                                   cd or jnp.float32)))
+    x2 = cap("x2", jax.nn.relu(_mm(x1, w2_top, cd) + zs1_part[:, None, :]))
+    out = _mm(x2, wo_top, cd) + zs2_part[:, None, :]
+    feat = cap("feat", out[..., 1:])
+    v1 = cap("v1", jax.nn.relu(_mm(feat, wd_top, cd) + dir_part[:, None, :]))
+    v2 = cap("v2", jax.nn.relu(
+        _mm(v1, params["layer_dir2"]["w"], cd)
+        + params["layer_dir2"]["b"].astype(cd or jnp.float32)))
+    del v2
+    return amax
+
+
+def quantize_codenerf(params, cfg: CodeNeRFConfig, amax: dict) -> dict:
+    """Build the quantized serving pytree for one CodeNeRF model.
+
+    Returns the original params plus a "quant" subtree holding int8
+    weights for the six per-sample matmuls and the fused rescale vectors
+    (s_act * sw, folded at quantization time so the apply path multiplies
+    once per output element).
+    """
+    h = cfg.hidden_size
+    w2_top, _ = _split_w(params["layer_xyz2"], h)
+    wo_top, _ = _split_w(params["fc_out"], h)
+    wd_top, _ = _split_w(params["layer_dir1"], cfg.shape_code_size)
+    wr_top, _ = _split_w(params["fc_rgb"], h)
+
+    s_act = {k: jnp.maximum(amax[k].astype(jnp.float32), 1e-12) / 127.0
+             for k in ACT_NAMES}
+
+    def q(w, act_key):
+        wq, sw = quantize_weight(w)
+        return {"wq": wq, "scale": s_act[act_key] * sw}
+
+    quant = {
+        "s_act": s_act,
+        "layer_xyz2_top": q(w2_top, "x1"),
+        "fc_out_sigma": q(wo_top[:, :1], "x2"),
+        "fc_out_feat": q(wo_top[:, 1:], "x2"),
+        "layer_dir1_top": q(wd_top, "feat"),
+        "layer_dir2": q(params["layer_dir2"]["w"], "v1"),
+        "fc_rgb_top": q(wr_top, "v2"),
+    }
+    return {**params, "quant": quant}
+
+
+def apply_codenerf_rays_q(qparams, cfg: CodeNeRFConfig, xyz_enc: jax.Array,
+                          dir_enc: jax.Array, z_s: jax.Array,
+                          z_t: jax.Array) -> jax.Array:
+    """Int8 CodeNeRF forward over ray-structured inputs (serving only).
+
+    Same layer graph as apply_codenerf_rays (reference model.py:160-194);
+    the per-sample trunk runs s8 x s8 -> s32 on the MXU with activations
+    crossing HBM as int8.  layer_xyz1 stays in the bf16 path: its input is
+    the [.., dim_xyz] positional encoding (computed on the fly, narrow,
+    lane-misaligned for int8 tiling) — quantizing it costs more glue than
+    its 63/256 share of the trunk FLOPs is worth.
+    """
+    cd = cfg._cdtype
+    q = qparams["quant"]
+    s = q["s_act"]
+    if cd is not None:
+        xyz_enc = xyz_enc.astype(cd)
+    zs1_part, zs2_part, dir_part, zt1_part = _per_ray_parts(
+        qparams, cfg, dir_enc, z_s, z_t)
+
+    x1 = _lin_relu(qparams["layer_xyz1"], xyz_enc, cd)
+    x1q = quantize_tensor(x1, s["x1"])
+
+    x2 = jax.nn.relu(_qdot(x1q, q["layer_xyz2_top"]["wq"],
+                           q["layer_xyz2_top"]["scale"])
+                     + zs1_part[:, None, :].astype(jnp.float32))
+    x2q = quantize_tensor(x2, s["x2"])
+
+    zs2f = zs2_part[:, None, :].astype(jnp.float32)
+    sigma = _qdot(x2q, q["fc_out_sigma"]["wq"],
+                  q["fc_out_sigma"]["scale"]) + zs2f[..., :1]
+    feat = _qdot(x2q, q["fc_out_feat"]["wq"],
+                 q["fc_out_feat"]["scale"]) + zs2f[..., 1:]
+    featq = quantize_tensor(feat, s["feat"])
+
+    v1 = jax.nn.relu(_qdot(featq, q["layer_dir1_top"]["wq"],
+                           q["layer_dir1_top"]["scale"])
+                     + dir_part[:, None, :].astype(jnp.float32))
+    v1q = quantize_tensor(v1, s["v1"])
+
+    v2 = jax.nn.relu(_qdot(v1q, q["layer_dir2"]["wq"],
+                           q["layer_dir2"]["scale"])
+                     + qparams["layer_dir2"]["b"].astype(jnp.float32))
+    v2q = quantize_tensor(v2, s["v2"])
+
+    rgb = _qdot(v2q, q["fc_rgb_top"]["wq"], q["fc_rgb_top"]["scale"]) \
+        + zt1_part[:, None, :].astype(jnp.float32)
+
+    return jnp.concatenate([rgb, sigma], axis=-1)
+
+
+def quantize_for_serving(params: dict, settings, ro: jax.Array,
+                         rd: jax.Array, z_s: Optional[jax.Array],
+                         z_t: Optional[jax.Array]) -> dict:
+    """Calibrate + quantize {"coarse", "fine"} CodeNeRF params on a
+    representative ray batch (e.g. the TTO rays of the object about to be
+    rendered).  Deterministic sampling, mirroring the render pipeline so
+    the fine model is calibrated on true importance-sampled points.
+    """
+    from codenerf_tpu.ops.sampling import (base_z_vals, sample_stratified,
+                                           sample_pdf)
+    from codenerf_tpu.ops.volume_render import volume_render
+    from codenerf_tpu.pipeline import encode_inputs
+
+    @jax.jit
+    def calibrate(params, ro, rd, z_s, z_t):
+        z_grid = base_z_vals(settings.num_coarse, settings.near, settings.far,
+                             settings.spacing_mode, dtype=ro.dtype)
+        pts_c, z_c = sample_stratified(None, ro, rd, z_grid, False)
+        xyz_c, dir_enc = encode_inputs(settings, pts_c, rd)
+        amax_c = trunk_activation_amax(params["coarse"], settings.coarse_cfg,
+                                       xyz_c, dir_enc, z_s, z_t)
+        from codenerf_tpu.models.ray_structured import apply_codenerf_rays
+        raw_c = apply_codenerf_rays(params["coarse"], settings.coarse_cfg,
+                                    xyz_c, dir_enc, z_s, z_t)
+        out_c = volume_render(raw_c, z_c, rd)
+        pts_f, _ = sample_pdf(None, ro, rd, out_c.weights[..., 1:-1], z_c,
+                              settings.num_fine, False)
+        xyz_f, _ = encode_inputs(settings, pts_f, rd)
+        amax_f = trunk_activation_amax(params["fine"], settings.fine_cfg,
+                                       xyz_f, dir_enc, z_s, z_t)
+        return amax_c, amax_f
+
+    amax_c, amax_f = calibrate(params, ro, rd, z_s, z_t)
+    return {
+        "coarse": quantize_codenerf(params["coarse"], settings.coarse_cfg,
+                                    amax_c),
+        "fine": quantize_codenerf(params["fine"], settings.fine_cfg, amax_f),
+    }

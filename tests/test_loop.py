@@ -84,6 +84,27 @@ class TestRunTraining:
         assert np.isfinite(out["psnr"])
         logger.close()
 
+    def test_validation_int8_serving_ab(self, synth_root, tmp_path):
+        """runtime.int8_serving renders the final image through the int8
+        path too and reports both metric sets (models/quantized.py)."""
+        from codenerf_tpu.harness import Harness, validate
+        from codenerf_tpu.train.state import init_train_state
+        from codenerf_tpu.utils.logging import MetricLogger
+
+        cfg = _cfg(synth_root, tmp_path, **{"runtime.int8_serving": "true",
+                                            "experiment.id": "int8test"})
+        harness = Harness.from_config(cfg)
+        state, _ = init_train_state(jax.random.PRNGKey(0), cfg,
+                                    harness.settings,
+                                    harness.train_dataset.num_objects)
+        logger = MetricLogger(tmp_path / "val8", enable_tensorboard=False)
+        out = validate(harness, state.params, logger, iteration=0)
+        logger.close()
+        assert np.isfinite(out["psnr_int8"])
+        # int8 render of an (untrained) model still tracks the full-
+        # precision render closely
+        assert abs(out["psnr_int8"] - out["psnr"]) < 1.0, out
+
     def test_validation_multi_start_pose(self, synth_root, tmp_path, capsys):
         """optimizer.pose_restarts probes several azimuth inits and
         continues from the lowest-loss candidate (beyond-reference)."""

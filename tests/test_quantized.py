@@ -1,0 +1,160 @@
+"""Int8 serving path (models/quantized.py): correctness vs the f32/bf16
+ray-structured forward, end-to-end render quality, and dispatch wiring.
+
+The reference has no quantized path; this pins the beyond-reference int8
+serving lever (weights + activations, static per-tensor calibration)."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from codenerf_tpu.models.mlp import CodeNeRFConfig, init_codenerf
+from codenerf_tpu.models.quantized import (
+    apply_codenerf_rays_q, quantize_codenerf, quantize_for_serving,
+    quantize_tensor, quantize_weight, trunk_activation_amax,
+)
+from codenerf_tpu.models.ray_structured import apply_codenerf_rays
+from codenerf_tpu.pipeline import RenderSettings, render_rays
+
+
+def _cfg(**kw):
+    return CodeNeRFConfig(hidden_size=32, shape_code_size=24,
+                          texture_code_size=20, num_encoding_fn_xyz=4,
+                          num_encoding_fn_dir=2, **kw)
+
+
+def _inputs(cfg, R=16, S=8, seed=0):
+    rng = np.random.default_rng(seed)
+    xyz = jnp.asarray(rng.normal(size=(R, S, cfg.dim_xyz)), jnp.float32)
+    dire = jnp.asarray(rng.normal(size=(R, cfg.dim_dir)), jnp.float32)
+    z_s = jnp.asarray(rng.normal(size=(R, cfg.shape_code_size)) * 0.3,
+                      jnp.float32)
+    z_t = jnp.asarray(rng.normal(size=(R, cfg.texture_code_size)) * 0.3,
+                      jnp.float32)
+    return xyz, dire, z_s, z_t
+
+
+class TestQuantizePrimitives:
+    def test_weight_roundtrip_error_bound(self):
+        rng = np.random.default_rng(1)
+        w = jnp.asarray(rng.normal(size=(48, 24)), jnp.float32)
+        wq, sw = quantize_weight(w)
+        assert wq.dtype == jnp.int8
+        err = jnp.abs(wq.astype(jnp.float32) * sw[None] - w)
+        # half-ULP rounding bound per column
+        assert float(jnp.max(err - 0.5 * sw[None])) <= 1e-6
+
+    def test_tensor_saturates(self):
+        x = jnp.asarray([-10.0, 0.0, 10.0])
+        q = quantize_tensor(x, jnp.asarray(0.05))
+        assert q.tolist() == [-127, 0, 127]
+
+
+class TestQuantizedApply:
+    @pytest.mark.parametrize("compute_dtype", [None, "bfloat16"])
+    def test_close_to_unquantized(self, compute_dtype):
+        cfg = _cfg(compute_dtype=compute_dtype)
+        params = init_codenerf(jax.random.PRNGKey(0), cfg)
+        xyz, dire, z_s, z_t = _inputs(cfg)
+        amax = trunk_activation_amax(params, cfg, xyz, dire, z_s, z_t)
+        qparams = quantize_codenerf(params, cfg, amax)
+
+        ref = apply_codenerf_rays(
+            params, dataclasses.replace(cfg, compute_dtype=None),
+            xyz, dire, z_s, z_t)
+        out = apply_codenerf_rays_q(qparams, cfg, xyz, dire, z_s, z_t)
+        assert out.dtype == jnp.float32
+        # raw (rgb logits | sigma) magnitudes are O(1) at torch-default
+        # init; int8 noise through a 5-matmul chain stays well under it
+        err = jnp.abs(out - ref)
+        assert float(jnp.max(err)) < 0.12
+        assert float(jnp.mean(err)) < 0.02
+
+    def test_int8_weights_and_folded_scales(self):
+        cfg = _cfg()
+        params = init_codenerf(jax.random.PRNGKey(0), cfg)
+        xyz, dire, z_s, z_t = _inputs(cfg)
+        amax = trunk_activation_amax(params, cfg, xyz, dire, z_s, z_t)
+        q = quantize_codenerf(params, cfg, amax)["quant"]
+        assert q["layer_xyz2_top"]["wq"].dtype == jnp.int8
+        assert q["layer_xyz2_top"]["wq"].shape == (32, 32)
+        assert q["fc_out_sigma"]["wq"].shape == (32, 1)
+        assert q["fc_out_feat"]["wq"].shape == (32, 24)
+        assert q["layer_dir1_top"]["wq"].shape == (24, 32)
+        assert q["fc_rgb_top"]["wq"].shape == (32, 3)
+        # folded rescale = s_act * per-channel sw
+        _, sw = quantize_weight(params["layer_dir2"]["w"])
+        np.testing.assert_allclose(np.asarray(q["layer_dir2"]["scale"]),
+                                   np.asarray(q["s_act"]["v1"] * sw),
+                                   rtol=1e-6)
+
+
+class TestServingPipeline:
+    def _settings(self, cfg):
+        return RenderSettings(
+            num_coarse=8, num_fine=8, near=0.8, far=1.8,
+            spacing_mode="lindepth",
+            num_encoding_fn_xyz=cfg.num_encoding_fn_xyz,
+            include_input_xyz=True, log_sampling_xyz=True,
+            use_viewdirs=True, num_encoding_fn_dir=cfg.num_encoding_fn_dir,
+            include_input_dir=True, log_sampling_dir=True,
+            coarse_cfg=cfg, fine_cfg=cfg)
+
+    def test_render_rays_dispatch_and_quality(self):
+        cfg = _cfg()
+        settings = self._settings(cfg)
+        kc, kf = jax.random.split(jax.random.PRNGKey(3))
+        params = {"coarse": init_codenerf(kc, cfg),
+                  "fine": init_codenerf(kf, cfg)}
+        rng = np.random.default_rng(5)
+        ro = jnp.asarray(rng.normal(size=(32, 3)) * 0.1, jnp.float32)
+        rd_ = rng.normal(size=(32, 3))
+        rd = jnp.asarray(rd_ / np.linalg.norm(rd_, axis=-1, keepdims=True),
+                         jnp.float32)
+        z_s = jnp.asarray(rng.normal(size=(32, cfg.shape_code_size)) * 0.3,
+                          jnp.float32)
+        z_t = jnp.asarray(rng.normal(size=(32, cfg.texture_code_size)) * 0.3,
+                          jnp.float32)
+
+        qparams = quantize_for_serving(params, settings, ro, rd, z_s, z_t)
+        _, f_ref = render_rays(params, settings, ro, rd, z_s, z_t, None,
+                               False)
+        _, f_q = render_rays(qparams, settings, ro, rd, z_s, z_t, None,
+                             False)
+        mse = float(jnp.mean((f_ref.rgb - f_q.rgb) ** 2))
+        psnr = -10.0 * np.log10(max(mse, 1e-12))
+        # int8 render vs full-precision render of the same model
+        assert psnr > 35.0, psnr
+
+    def test_image_renderer_accepts_qparams(self):
+        from codenerf_tpu.core.geometry import pixel_directions
+        from codenerf_tpu.eval.render import make_image_renderer
+        cfg = _cfg()
+        settings = self._settings(cfg)
+        kc, kf = jax.random.split(jax.random.PRNGKey(7))
+        params = {"coarse": init_codenerf(kc, cfg),
+                  "fine": init_codenerf(kf, cfg)}
+        H = W = 8
+        intr = jnp.asarray([[10.0, 0, 4.0, 0], [0, 10.0, 4.0, 0],
+                            [0, 0, 1, 0], [0, 0, 0, 1]], jnp.float32)
+        dirs = pixel_directions(H, W, intr)
+        pose = jnp.eye(4, dtype=jnp.float32)
+        z_s = jnp.zeros((1, cfg.shape_code_size), jnp.float32)
+        z_t = jnp.zeros((1, cfg.texture_code_size), jnp.float32)
+
+        ro = jnp.zeros((16, 3), jnp.float32)
+        rd = jnp.ones((16, 3), jnp.float32)
+        zs_r = jnp.broadcast_to(z_s, (16, cfg.shape_code_size))
+        zt_r = jnp.broadcast_to(z_t, (16, cfg.texture_code_size))
+        qparams = quantize_for_serving(params, settings, ro, rd, zs_r, zt_r)
+
+        renderer = make_image_renderer(settings, H, W, chunksize=32)
+        img_ref = renderer(params, dirs, pose, z_s, z_t)
+        img_q = renderer(qparams, dirs, pose, z_s, z_t)
+        assert img_q.shape == (H * W, 3)
+        mse = float(jnp.mean((img_ref - img_q) ** 2))
+        psnr = -10.0 * np.log10(max(mse, 1e-12))
+        assert psnr > 35.0, psnr

@@ -70,11 +70,20 @@ def main():
     rd = jnp.asarray(rng.normal(size=(R, 3)), jnp.float32)
     z = jnp.asarray(rng.normal(size=(R, C)) * 0.1, jnp.float32)
 
-    for name, use_pallas in [("XLA fwd-only", False), ("Pallas fwd-only", True)]:
+    variants = [("XLA fwd-only", False, False)]
+    if "--int8" in sys.argv:
+        variants = [("int8 fwd-only", False, True)]
+    if "--pallas" in sys.argv:
+        variants = [("Pallas fwd-only", True, False)]
+
+    for name, use_pallas, int8 in variants:
         # serving_settings enables split_fc_out — the image renderer's
         # actual configuration (565k -> 825k rays/s; PERF.md session 5)
         settings = serving_settings(
             dataclasses.replace(base, use_pallas=use_pallas))
+        if int8:
+            from codenerf_tpu.models.quantized import quantize_for_serving
+            params = quantize_for_serving(params, settings, ro, rd, z, z)
 
         @jax.jit
         def render(params, ro, rd, z, steps=20):
