@@ -41,9 +41,16 @@ def timed(name, fn, *args, steps=20):
     amortized inside a single dispatch and the sync must fetch data."""
     params, ro, rd, z = args
     float(jax.device_get(fn(params, ro, rd, z)))  # compile + warm
+    profile_dir = None
+    if "--profile" in sys.argv:
+        profile_dir = sys.argv[sys.argv.index("--profile") + 1]
+        jax.profiler.start_trace(profile_dir)
     t0 = time.perf_counter()
     checksum = float(jax.device_get(fn(params, ro, rd, z)))
     dt = (time.perf_counter() - t0) / steps
+    if profile_dir:
+        jax.profiler.stop_trace()
+        print(f"trace written to {profile_dir}")
     print(f"{name:30s} {dt*1000:8.2f} ms   "
           f"{ro.shape[0]/dt:12.0f} rays/s   (checksum {checksum:.4f})")
     return dt
