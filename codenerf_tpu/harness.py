@@ -418,14 +418,25 @@ def validate_category(harness: Harness, params: dict, logger: MetricLogger,
         "pose_error_mean": float(np.mean([r["pose_error"] for r in rows])),
         "per_object": rows,
     }
+    int8 = all("psnr_int8" in r for r in rows) and rows
+    if int8:
+        summary["psnr_int8_mean"] = float(np.mean([r["psnr_int8"]
+                                                   for r in rows]))
     if is_main_process():
         print(f"[VAL   ] category evaluation over {len(rows)} objects "
               f"(groups of {K}):")
-        print("  object |   PSNR |  SSIM | pose err")
+        print("  object |   PSNR |  SSIM | pose err"
+              + (" | int8 PSNR" if int8 else ""))
         for i, r in enumerate(rows):
-            print(f"  {i:6d} | {r['psnr']:6.2f} | {r['ssim']:.3f} "
-                  f"| {r['pose_error']:.3f}")
-        print(f"  mean   | {summary['psnr_mean']:6.2f} "
-              f"| {summary['ssim_mean']:.3f} "
-              f"| {summary['pose_error_mean']:.3f}")
+            line = (f"  {i:6d} | {r['psnr']:6.2f} | {r['ssim']:.3f} "
+                    f"| {r['pose_error']:.3f}")
+            if int8:
+                line += f" | {r['psnr_int8']:6.2f}"
+            print(line)
+        mean_line = (f"  mean   | {summary['psnr_mean']:6.2f} "
+                     f"| {summary['ssim_mean']:.3f} "
+                     f"| {summary['pose_error_mean']:.3f}")
+        if int8:
+            mean_line += f" | {summary['psnr_int8_mean']:6.2f}"
+        print(mean_line)
     return summary
