@@ -28,6 +28,11 @@ def ssim(img0: jax.Array, img1: jax.Array, max_val: float = 1.0,
     """
     img0 = jnp.asarray(img0, jnp.float32)
     img1 = jnp.asarray(img1, jnp.float32)
+    # clamp the window to the image: valid-mode conv with a window larger
+    # than the image would produce an empty output (mean -> NaN)
+    filter_size = min(filter_size, img0.shape[0], img0.shape[1])
+    if filter_size % 2 == 0:
+        filter_size -= 1
     hw = filter_size // 2
     offsets = jnp.arange(-hw, hw + 1, dtype=jnp.float32)
     kernel = jnp.exp(-0.5 * (offsets / filter_sigma) ** 2)

@@ -179,7 +179,14 @@ def validate(harness: Harness, params: dict, logger: MetricLogger,
         return out
     rgb = render(model_params, harness.directions, pose_gt, None, None)
 
-    return _finish_validation(harness, target, rgb, logger, iteration)
+    out = _finish_validation(harness, target, rgb, logger, iteration)
+    if cfg.runtime.int8_serving:
+        qp = _int8_render_params(harness, model_params, pose_gt, None, None)
+        rgb_q = render(qp, harness.directions, pose_gt, None, None)
+        q = _finish_validation(harness, target, rgb_q, logger, iteration,
+                               tag="val-int8")
+        out.update({"psnr_int8": q["psnr"], "ssim_int8": q["ssim"]})
+    return out
 
 
 def _int8_render_params(harness: Harness, model_params: dict,
@@ -196,8 +203,10 @@ def _int8_render_params(harness: Harness, model_params: dict,
     ro, rd = ray_bundle(dirs[idx][None], cam_pose[None])
     ro = ro.reshape(n, 3)
     rd = rd.reshape(n, 3)
-    zs = jnp.broadcast_to(z_s, (n, z_s.shape[-1]))
-    zt = jnp.broadcast_to(z_t, (n, z_t.shape[-1]))
+    zs = zt = None
+    if z_s is not None:
+        zs = jnp.broadcast_to(z_s, (n, z_s.shape[-1]))
+        zt = jnp.broadcast_to(z_t, (n, z_t.shape[-1]))
     return quantize_for_serving(model_params, harness.settings, ro, rd,
                                 zs, zt)
 

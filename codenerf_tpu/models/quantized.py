@@ -32,7 +32,7 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
-from codenerf_tpu.models.mlp import CodeNeRFConfig
+from codenerf_tpu.models.mlp import CodeNeRFConfig, FlexibleNeRFConfig
 from codenerf_tpu.models.ray_structured import _lin_relu, _mm, _split_w
 
 # Activations captured for calibration, in trunk order.  Every name is the
@@ -207,14 +207,152 @@ def apply_codenerf_rays_q(qparams, cfg: CodeNeRFConfig, xyz_enc: jax.Array,
     return jnp.concatenate([rgb, sigma], axis=-1)
 
 
+# ---------------------------------------------------------------------------
+# FlexibleNeRF (vanilla-NeRF) family — same scheme over the skip-concat trunk
+# (reference model.py:51-76); used by the lego/fern/srn-cars configs.
+# ---------------------------------------------------------------------------
+
+def flexible_trunk_amax(params, cfg: FlexibleNeRFConfig, xyz_enc, dir_enc
+                        ) -> dict:
+    """Per-tensor amax of every quantized-matmul input for the vanilla
+    trunk.  Keys: t0..t{n-1} (inputs of layers_xyz[i]), "last" (input of
+    fc_feat / fc_out), "feat" (input of fc_alpha + layer_dir1 top), "v1"
+    (input of fc_rgb)."""
+    cd = cfg._cdtype
+    if cd is not None:
+        xyz_enc = xyz_enc.astype(cd)
+        if dir_enc is not None:
+            dir_enc = dir_enc.astype(cd)
+    amax = {}
+
+    def cap(name, x):
+        amax[name] = jnp.max(jnp.abs(x.astype(jnp.float32)))
+        return x
+
+    h = cfg.hidden_size
+    out = _lin_relu(params["layer1"], xyz_enc, cd)
+    for i, layer in enumerate(params["layers_xyz"]):
+        cap(f"t{i}", out)
+        if i in cfg.skip_connect_ids:
+            w_top, w_bot = _split_w(layer, h)
+            y = _mm(out, w_top, cd) + _mm(xyz_enc, w_bot, cd)
+            out = jax.nn.relu(y + layer["b"].astype(y.dtype))
+        else:
+            out = _lin_relu(layer, out, cd)
+    cap("last", out)
+    if cfg.use_viewdirs:
+        feat = cap("feat", _lin_relu(params["fc_feat"], out, cd))
+        wd_top, wd_bot = _split_w(params["layer_dir1"], h)
+        dp = _mm(dir_enc, wd_bot, cd)
+        dir_part = dp + params["layer_dir1"]["b"].astype(dp.dtype)
+        cap("v1", jax.nn.relu(_mm(feat, wd_top, cd) + dir_part[:, None, :]))
+    return amax
+
+
+def quantize_flexible(params, cfg: FlexibleNeRFConfig, amax: dict) -> dict:
+    """Quantized serving pytree for one FlexibleNeRF model: int8 weights
+    for the per-sample trunk matmuls (skip layers quantize only the
+    hidden-state half; the xyz-encoding half stays on the bf16 path) and
+    the fused rescale vectors."""
+    h = cfg.hidden_size
+    s_act = {k: jnp.maximum(v.astype(jnp.float32), 1e-12) / 127.0
+             for k, v in amax.items()}
+
+    def q(w, act_key):
+        wq, sw = quantize_weight(w)
+        return {"wq": wq, "scale": s_act[act_key] * sw}
+
+    layers = []
+    for i, layer in enumerate(params["layers_xyz"]):
+        if i in cfg.skip_connect_ids:
+            w_top, _ = _split_w(layer, h)
+            layers.append(q(w_top, f"t{i}"))
+        else:
+            layers.append(q(layer["w"], f"t{i}"))
+    quant = {"s_act": s_act, "layers_xyz": layers}
+    if cfg.use_viewdirs:
+        wd_top, _ = _split_w(params["layer_dir1"], h)
+        quant["fc_feat"] = q(params["fc_feat"]["w"], "last")
+        quant["fc_alpha"] = q(params["fc_alpha"]["w"], "feat")
+        quant["layer_dir1_top"] = q(wd_top, "feat")
+        quant["fc_rgb"] = q(params["fc_rgb"]["w"], "v1")
+    else:
+        quant["fc_out"] = q(params["fc_out"]["w"], "last")
+    return {**params, "quant": quant}
+
+
+def apply_flexible_rays_q(qparams, cfg: FlexibleNeRFConfig,
+                          xyz_enc: jax.Array,
+                          dir_enc: Optional[jax.Array]) -> jax.Array:
+    """Int8 FlexibleNeRF forward over ray-structured inputs (serving
+    only).  Same layer graph as apply_flexible_rays (model.py:51-76).
+    layer1 and the skip layers' xyz-encoding halves stay bf16 (narrow,
+    computed-on-the-fly inputs; see apply_codenerf_rays_q)."""
+    cd = cfg._cdtype
+    q = qparams["quant"]
+    s = q["s_act"]
+    h = cfg.hidden_size
+    if cd is not None:
+        xyz_enc = xyz_enc.astype(cd)
+        if dir_enc is not None:
+            dir_enc = dir_enc.astype(cd)
+
+    out = _lin_relu(qparams["layer1"], xyz_enc, cd)
+    for i, layer in enumerate(qparams["layers_xyz"]):
+        outq = quantize_tensor(out, s[f"t{i}"])
+        ql = q["layers_xyz"][i]
+        y = _qdot(outq, ql["wq"], ql["scale"])
+        if i in cfg.skip_connect_ids:
+            _, w_bot = _split_w(layer, h)
+            y = y + _mm(xyz_enc, w_bot, cd).astype(jnp.float32)
+        out = jax.nn.relu(y + layer["b"].astype(jnp.float32))
+
+    lastq = quantize_tensor(out, s["last"])
+    if cfg.use_viewdirs:
+        feat = jax.nn.relu(_qdot(lastq, q["fc_feat"]["wq"],
+                                 q["fc_feat"]["scale"])
+                           + qparams["fc_feat"]["b"].astype(jnp.float32))
+        featq = quantize_tensor(feat, s["feat"])
+        sigma = _qdot(featq, q["fc_alpha"]["wq"], q["fc_alpha"]["scale"]) \
+            + qparams["fc_alpha"]["b"].astype(jnp.float32)
+        _, wd_bot = _split_w(qparams["layer_dir1"], h)
+        dp = _mm(dir_enc, wd_bot, cd)
+        dir_part = dp + qparams["layer_dir1"]["b"].astype(dp.dtype)
+        v1 = jax.nn.relu(_qdot(featq, q["layer_dir1_top"]["wq"],
+                               q["layer_dir1_top"]["scale"])
+                         + dir_part[:, None, :].astype(jnp.float32))
+        v1q = quantize_tensor(v1, s["v1"])
+        rgb = _qdot(v1q, q["fc_rgb"]["wq"], q["fc_rgb"]["scale"]) \
+            + qparams["fc_rgb"]["b"].astype(jnp.float32)
+        return jnp.concatenate([rgb, sigma], axis=-1)
+    return (_qdot(lastq, q["fc_out"]["wq"], q["fc_out"]["scale"])
+            + qparams["fc_out"]["b"].astype(jnp.float32))
+
+
+def _trunk_amax(params, cfg, xyz_enc, dir_enc, z_s, z_t) -> dict:
+    if isinstance(cfg, CodeNeRFConfig):
+        return trunk_activation_amax(params, cfg, xyz_enc, dir_enc, z_s, z_t)
+    return flexible_trunk_amax(params, cfg, xyz_enc, dir_enc)
+
+
+def _quantize_model(params, cfg, amax: dict) -> dict:
+    if isinstance(cfg, CodeNeRFConfig):
+        return quantize_codenerf(params, cfg, amax)
+    return quantize_flexible(params, cfg, amax)
+
+
 def quantize_for_serving(params: dict, settings, ro: jax.Array,
                          rd: jax.Array, z_s: Optional[jax.Array],
                          z_t: Optional[jax.Array]) -> dict:
-    """Calibrate + quantize {"coarse", "fine"} CodeNeRF params on a
-    representative ray batch (e.g. the TTO rays of the object about to be
-    rendered).  Deterministic sampling, mirroring the render pipeline so
-    the fine model is calibrated on true importance-sampled points.
+    """Calibrate + quantize {"coarse", "fine"} params on a representative
+    ray batch (e.g. the TTO rays of the object about to be rendered, or
+    rays from the render pose).  Works for both model families (z_s/z_t
+    are None for vanilla NeRF).  Deterministic sampling, mirroring the
+    render pipeline so the fine model is calibrated on true
+    importance-sampled points.
     """
+    from codenerf_tpu.models.ray_structured import (apply_codenerf_rays,
+                                                    apply_flexible_rays)
     from codenerf_tpu.ops.sampling import (base_z_vals, sample_stratified,
                                            sample_pdf)
     from codenerf_tpu.ops.volume_render import volume_render
@@ -226,22 +364,25 @@ def quantize_for_serving(params: dict, settings, ro: jax.Array,
                              settings.spacing_mode, dtype=ro.dtype)
         pts_c, z_c = sample_stratified(None, ro, rd, z_grid, False)
         xyz_c, dir_enc = encode_inputs(settings, pts_c, rd)
-        amax_c = trunk_activation_amax(params["coarse"], settings.coarse_cfg,
-                                       xyz_c, dir_enc, z_s, z_t)
-        from codenerf_tpu.models.ray_structured import apply_codenerf_rays
-        raw_c = apply_codenerf_rays(params["coarse"], settings.coarse_cfg,
-                                    xyz_c, dir_enc, z_s, z_t)
+        amax_c = _trunk_amax(params["coarse"], settings.coarse_cfg,
+                             xyz_c, dir_enc, z_s, z_t)
+        if isinstance(settings.coarse_cfg, CodeNeRFConfig):
+            raw_c = apply_codenerf_rays(params["coarse"], settings.coarse_cfg,
+                                        xyz_c, dir_enc, z_s, z_t)
+        else:
+            raw_c = apply_flexible_rays(params["coarse"], settings.coarse_cfg,
+                                        xyz_c, dir_enc)
         out_c = volume_render(raw_c, z_c, rd)
         pts_f, _ = sample_pdf(None, ro, rd, out_c.weights[..., 1:-1], z_c,
                               settings.num_fine, False)
         xyz_f, _ = encode_inputs(settings, pts_f, rd)
-        amax_f = trunk_activation_amax(params["fine"], settings.fine_cfg,
-                                       xyz_f, dir_enc, z_s, z_t)
+        amax_f = _trunk_amax(params["fine"], settings.fine_cfg,
+                             xyz_f, dir_enc, z_s, z_t)
         return amax_c, amax_f
 
     amax_c, amax_f = calibrate(params, ro, rd, z_s, z_t)
     return {
-        "coarse": quantize_codenerf(params["coarse"], settings.coarse_cfg,
-                                    amax_c),
-        "fine": quantize_codenerf(params["fine"], settings.fine_cfg, amax_f),
+        "coarse": _quantize_model(params["coarse"], settings.coarse_cfg,
+                                  amax_c),
+        "fine": _quantize_model(params["fine"], settings.fine_cfg, amax_f),
     }

@@ -195,13 +195,15 @@ def _forward(params, model_cfg, settings, pts, rd, z_s, z_t):
     """
     from codenerf_tpu.models.ray_structured import (
         apply_codenerf_rays, apply_flexible_rays)
-    if isinstance(model_cfg, CodeNeRFConfig) and isinstance(params, dict) \
-            and "quant" in params:
+    if isinstance(params, dict) and "quant" in params:
         # int8 serving params (models/quantized.py::quantize_for_serving)
-        from codenerf_tpu.models.quantized import apply_codenerf_rays_q
+        from codenerf_tpu.models.quantized import (apply_codenerf_rays_q,
+                                                   apply_flexible_rays_q)
         xyz_enc, dir_enc = encode_inputs(settings, pts, rd)
-        return apply_codenerf_rays_q(params, model_cfg, xyz_enc, dir_enc,
-                                     z_s, z_t)
+        if isinstance(model_cfg, CodeNeRFConfig):
+            return apply_codenerf_rays_q(params, model_cfg, xyz_enc, dir_enc,
+                                         z_s, z_t)
+        return apply_flexible_rays_q(params, model_cfg, xyz_enc, dir_enc)
     if _pallas_active(settings, model_cfg) or _hybrid_active(settings,
                                                              model_cfg):
         viewdirs = rd / jnp.linalg.norm(rd, axis=-1, keepdims=True)

@@ -182,6 +182,17 @@ class TestSSIM:
         assert 0.5 < s_noisy < 1.0
         assert s_other < s_noisy
 
+    def test_small_image_window_clamped(self):
+        # images smaller than the 11-tap window used to yield an empty
+        # valid-mode conv output and therefore NaN
+        from codenerf_tpu.core.metrics import ssim
+        img = jnp.asarray(np.random.default_rng(3).uniform(
+            size=(8, 8, 3)), dtype=jnp.float32)
+        assert float(ssim(img, img)) == pytest.approx(1.0, abs=1e-5)
+        other = jnp.asarray(np.random.default_rng(4).uniform(
+            size=(8, 8, 3)), dtype=jnp.float32)
+        assert np.isfinite(float(ssim(img, other)))
+
     def test_matches_known_degradation(self):
         from codenerf_tpu.core.metrics import ssim
         # constant shift barely affects structure -> high SSIM but < 1

@@ -11,12 +11,15 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from codenerf_tpu.models.mlp import CodeNeRFConfig, init_codenerf
+from codenerf_tpu.models.mlp import (CodeNeRFConfig, FlexibleNeRFConfig,
+                                     init_codenerf, init_flexible_nerf)
 from codenerf_tpu.models.quantized import (
-    apply_codenerf_rays_q, quantize_codenerf, quantize_for_serving,
+    apply_codenerf_rays_q, apply_flexible_rays_q, flexible_trunk_amax,
+    quantize_codenerf, quantize_flexible, quantize_for_serving,
     quantize_tensor, quantize_weight, trunk_activation_amax,
 )
-from codenerf_tpu.models.ray_structured import apply_codenerf_rays
+from codenerf_tpu.models.ray_structured import (apply_codenerf_rays,
+                                                apply_flexible_rays)
 from codenerf_tpu.pipeline import RenderSettings, render_rays
 
 
@@ -92,6 +95,43 @@ class TestQuantizedApply:
                                    rtol=1e-6)
 
 
+class TestQuantizedFlexible:
+    @pytest.mark.parametrize("use_viewdirs", [True, False])
+    def test_close_to_unquantized(self, use_viewdirs):
+        cfg = FlexibleNeRFConfig(num_layers=6, hidden_size=32,
+                                 skip_connect_ids=(2,),
+                                 num_encoding_fn_xyz=4,
+                                 num_encoding_fn_dir=2,
+                                 use_viewdirs=use_viewdirs)
+        params = init_flexible_nerf(jax.random.PRNGKey(1), cfg)
+        rng = np.random.default_rng(2)
+        xyz = jnp.asarray(rng.normal(size=(16, 8, cfg.dim_xyz)), jnp.float32)
+        dire = (jnp.asarray(rng.normal(size=(16, cfg.dim_dir)), jnp.float32)
+                if use_viewdirs else None)
+        amax = flexible_trunk_amax(params, cfg, xyz, dire)
+        qparams = quantize_flexible(params, cfg, amax)
+        ref = apply_flexible_rays(params, cfg, xyz, dire)
+        out = apply_flexible_rays_q(qparams, cfg, xyz, dire)
+        assert out.shape == ref.shape
+        err = jnp.abs(out - ref)
+        assert float(jnp.max(err)) < 0.12, float(jnp.max(err))
+        assert float(jnp.mean(err)) < 0.02
+
+    def test_skip_layer_quantizes_hidden_half_only(self):
+        cfg = FlexibleNeRFConfig(num_layers=6, hidden_size=32,
+                                 skip_connect_ids=(2,),
+                                 num_encoding_fn_xyz=4)
+        params = init_flexible_nerf(jax.random.PRNGKey(1), cfg)
+        rng = np.random.default_rng(2)
+        xyz = jnp.asarray(rng.normal(size=(4, 4, cfg.dim_xyz)), jnp.float32)
+        dire = jnp.asarray(rng.normal(size=(4, cfg.dim_dir)), jnp.float32)
+        amax = flexible_trunk_amax(params, cfg, xyz, dire)
+        q = quantize_flexible(params, cfg, amax)["quant"]
+        # skip layer top half only: [h, h] not [h + dim_xyz, h]
+        assert q["layers_xyz"][2]["wq"].shape == (32, 32)
+        assert q["layers_xyz"][0]["wq"].shape == (32, 32)
+
+
 class TestServingPipeline:
     def _settings(self, cfg):
         return RenderSettings(
@@ -127,6 +167,29 @@ class TestServingPipeline:
         mse = float(jnp.mean((f_ref.rgb - f_q.rgb) ** 2))
         psnr = -10.0 * np.log10(max(mse, 1e-12))
         # int8 render vs full-precision render of the same model
+        assert psnr > 35.0, psnr
+
+    def test_render_rays_dispatch_vanilla(self):
+        cfg = FlexibleNeRFConfig(num_layers=4, hidden_size=32,
+                                 skip_connect_ids=(2,),
+                                 num_encoding_fn_xyz=4,
+                                 num_encoding_fn_dir=2)
+        settings = self._settings(cfg)
+        kc, kf = jax.random.split(jax.random.PRNGKey(11))
+        params = {"coarse": init_flexible_nerf(kc, cfg),
+                  "fine": init_flexible_nerf(kf, cfg)}
+        rng = np.random.default_rng(12)
+        ro = jnp.asarray(rng.normal(size=(32, 3)) * 0.1, jnp.float32)
+        rd_ = rng.normal(size=(32, 3))
+        rd = jnp.asarray(rd_ / np.linalg.norm(rd_, axis=-1, keepdims=True),
+                         jnp.float32)
+        qparams = quantize_for_serving(params, settings, ro, rd, None, None)
+        _, f_ref = render_rays(params, settings, ro, rd, None, None, None,
+                               False)
+        _, f_q = render_rays(qparams, settings, ro, rd, None, None, None,
+                             False)
+        mse = float(jnp.mean((f_ref.rgb - f_q.rgb) ** 2))
+        psnr = -10.0 * np.log10(max(mse, 1e-12))
         assert psnr > 35.0, psnr
 
     def test_image_renderer_accepts_qparams(self):
