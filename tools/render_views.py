@@ -26,6 +26,10 @@ def main():
     ap.add_argument("--phi", type=float, default=0.0)
     ap.add_argument("--rho", type=float, default=1.30)
     ap.add_argument("--out", required=True)
+    ap.add_argument("--int8", action="store_true",
+                    help="serve through the int8 quantized path "
+                         "(models/quantized.py), calibrated on rays from "
+                         "the first view")
     ap.add_argument("--platform", default=None)
     ap.add_argument("overrides", nargs="*")
     args = ap.parse_args()
@@ -67,6 +71,11 @@ def main():
     out_dir.mkdir(parents=True, exist_ok=True)
     thetas = np.linspace(args.theta_range[0], args.theta_range[1],
                          args.num_views)
+    if args.int8:
+        from codenerf_tpu.harness import _int8_render_params
+        pose0 = pose_spherical(float(thetas[0]), args.phi, args.rho)
+        params = _int8_render_params(harness, params, pose0, z_s, z_t)
+        print("serving through the int8 quantized path")
     for i, theta in enumerate(thetas):
         pose = pose_spherical(float(theta), args.phi, args.rho)
         rgb = render(params, harness.directions, pose, z_s, z_t)
