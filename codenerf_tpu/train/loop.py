@@ -82,9 +82,12 @@ def run_training(cfg: Config, max_steps: Optional[int] = None,
     metrics_out = {}
     rays_per_step = (cfg.nerf.ray_sampler.num_random_rays
                      * cfg.dataset.train_batch_size)
-    # decode the next batch on a host thread while the device steps
+    # decode the next batch on a host thread while the device steps; on a
+    # single device also upload it there (overlaps the tunnel RTT of the
+    # host->device transfer with the previous step)
     from codenerf_tpu.data import PrefetchIterator
-    train_stream = PrefetchIterator(harness.train_iter, depth=2)
+    train_stream = PrefetchIterator(harness.train_iter, depth=2,
+                                    to_device=harness.mesh is None)
     # steady-state profiler window (SURVEY §5: replaces the reference's
     # bare wall-clock deltas with a real trace)
     prof_start = start_step + 5 if cfg.runtime.profile_dir else -1

@@ -201,6 +201,22 @@ class TestPrefetchIterator:
             np.testing.assert_array_equal(a["object_id"], b["object_id"])
             np.testing.assert_array_equal(a["color"], b["color"])
 
+    def test_prefetch_to_device(self, srn_root):
+        """to_device=True uploads the batch on the prefetch thread (the
+        transfer overlaps the previous step on a tunneled TPU)."""
+        import jax
+        from codenerf_tpu.data import PrefetchIterator
+        ds = SRNDataset(str(srn_root), "train")
+        plain = BatchIterator(ds, batch_size=2, seed=3)
+        pref = PrefetchIterator(BatchIterator(ds, batch_size=2, seed=3),
+                                to_device=True)
+        a, b = next(plain), next(pref)
+        assert isinstance(b["color"], jax.Array)
+        assert isinstance(b["pose"], jax.Array)
+        np.testing.assert_array_equal(a["color"], np.asarray(b["color"]))
+        np.testing.assert_array_equal(a["object_id"],
+                                      np.asarray(b["object_id"]))
+
     def test_prefetch_propagates_errors(self):
         from codenerf_tpu.data import PrefetchIterator
 
