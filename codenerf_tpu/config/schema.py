@@ -206,6 +206,13 @@ class RuntimeConfig:
     # wrap the train step in jax.experimental.checkify NaN/div guards
     # (debugging aid; costs performance)
     checkify: bool = False
+    # split the CodeNeRF fc_out into separate sigma/feat matmuls in the
+    # TRAINING step too (the image renderer always splits).  At the bench
+    # shape (8192 rays, 64+64) the fused form wins under grad; at the
+    # flagship shape (16384 rays, 32+128) the lane-misaligned [.., 257]
+    # output forces transposed layouts through the fine trunk (profiled:
+    # {0,2,1}-layout relayouts ~20% of the step).  Measure per shape.
+    split_fc_out: bool = False
     # during validation, ALSO render each final image through the int8
     # serving path (models/quantized.py: s8xs8 MXU matmuls, int8
     # activation chain) and report its PSNR/SSIM next to the full-

@@ -31,7 +31,8 @@ from codenerf_tpu.ops.volume_render import volume_render, RenderOutputs
 def model_config_from_spec(spec: ModelSpec, embedder: EmbedderConfig,
                            shape_code_size: int, texture_code_size: int,
                            compute_dtype: Optional[str] = None,
-                           pallas_layer_bwd: bool = False):
+                           pallas_layer_bwd: bool = False,
+                           split_fc_out: bool = False):
     """String-keyed model registry (reference util.py:118 getattr pattern)."""
     if spec.type == "CodeNeRFModel":
         return CodeNeRFConfig(
@@ -44,6 +45,7 @@ def model_config_from_spec(spec: ModelSpec, embedder: EmbedderConfig,
             include_input_dir=embedder.include_input_dir,
             compute_dtype=compute_dtype,
             pallas_layer_bwd=pallas_layer_bwd,
+            split_fc_out=split_fc_out,
         )
     if spec.type == "FlexibleNeRFModel":
         return FlexibleNeRFConfig(
@@ -109,7 +111,8 @@ class RenderSettings:
                      shape_code_size=cfg.models.embedding.shape_code_size,
                      texture_code_size=cfg.models.embedding.texture_code_size,
                      compute_dtype=dt,
-                     pallas_layer_bwd=cfg.runtime.pallas_layer_bwd)
+                     pallas_layer_bwd=cfg.runtime.pallas_layer_bwd,
+                     split_fc_out=cfg.runtime.split_fc_out)
         return RenderSettings(
             num_coarse=ps.num_coarse, num_fine=ps.num_fine,
             near=ps.near_limit, far=ps.far_limit,

@@ -256,6 +256,37 @@ class TestImageRenderer:
                                    np.asarray(f2.weights),
                                    rtol=1e-5, atol=1e-6)
 
+    def test_split_fc_out_matches_fused_gradients(self):
+        """runtime.split_fc_out also exists as a TRAINING lever (layout
+        choice at flagship shapes): loss and parameter gradients must
+        match the fused form."""
+        import dataclasses as dc
+        from codenerf_tpu.pipeline import render_rays
+        cfg, settings, state, dirs = _setup()
+        params = {"coarse": state.params["coarse"],
+                  "fine": state.params["fine"]}
+        rng = np.random.default_rng(3)
+        ro = jnp.asarray(rng.normal(size=(16, 3)), jnp.float32)
+        rd = jnp.asarray(rng.normal(size=(16, 3)), jnp.float32)
+        z = jnp.asarray(rng.normal(size=(16, 16)) * 0.1, jnp.float32)
+        target = jnp.asarray(rng.uniform(size=(16, 3)), jnp.float32)
+        split = dc.replace(
+            settings,
+            coarse_cfg=dc.replace(settings.coarse_cfg, split_fc_out=True),
+            fine_cfg=dc.replace(settings.fine_cfg, split_fc_out=True))
+
+        def loss(p, s):
+            out_c, out_f = render_rays(p, s, ro, rd, z, z, None, False)
+            return (jnp.mean((out_c.rgb - target) ** 2)
+                    + jnp.mean((out_f.rgb - target) ** 2))
+
+        l1, g1 = jax.value_and_grad(loss)(params, settings)
+        l2, g2 = jax.value_and_grad(loss)(params, split)
+        np.testing.assert_allclose(float(l1), float(l2), rtol=1e-6)
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-6), g1, g2)
+
     def test_vanilla_render_without_codes(self):
         cfg, settings, state, dirs = _setup("FlexibleNeRFModel")
         render = make_image_renderer(settings, 8, 8, chunksize=32)
