@@ -207,11 +207,13 @@ class RuntimeConfig:
     # (debugging aid; costs performance)
     checkify: bool = False
     # split the CodeNeRF fc_out into separate sigma/feat matmuls in the
-    # TRAINING step too (the image renderer always splits).  At the bench
-    # shape (8192 rays, 64+64) the fused form wins under grad; at the
-    # flagship shape (16384 rays, 32+128) the lane-misaligned [.., 257]
-    # output forces transposed layouts through the fine trunk (profiled:
-    # {0,2,1}-layout relayouts ~20% of the step).  Measure per shape.
+    # TRAINING step too (the image renderer always splits).  Measured
+    # SLOWER under grad at every shape tested — bench (8192 rays, 64+64):
+    # 179k fused vs 159k split; flagship (16384 rays, 32+128): 139.6k
+    # fused vs 124.9k split — the fused form's single dw matmul beats the
+    # relayout tax of its lane-misaligned [.., 257] output even where
+    # that tax is profiled at ~20% of the step.  Kept as a measurement
+    # lever; gradient equality pinned by tests.
     split_fc_out: bool = False
     # during validation, ALSO render each final image through the int8
     # serving path (models/quantized.py: s8xs8 MXU matmuls, int8
