@@ -215,6 +215,12 @@ class RuntimeConfig:
     # that tax is profiled at ~20% of the step.  Kept as a measurement
     # lever; gradient equality pinned by tests.
     split_fc_out: bool = False
+    # permute the fused fc_out's columns to [feat | sigma] inside the
+    # apply so both output slices are lane-aligned (the reference order
+    # puts sigma first, making the feat slice start at offset 1 — XLA
+    # answers with transposed layouts at flagship shapes).  Exactly
+    # differentiable; same math.  See CodeNeRFConfig.fc_out_tail_sigma.
+    fc_out_tail_sigma: bool = False
     # during validation, ALSO render each final image through the int8
     # serving path (models/quantized.py: s8xs8 MXU matmuls, int8
     # activation chain) and report its PSNR/SSIM next to the full-

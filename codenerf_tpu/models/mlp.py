@@ -60,6 +60,14 @@ class CodeNeRFConfig:
     # single-pass Pallas backward for the trunk linear+relu layers
     # (ops/layer_bwd.py); forward stays XLA.  TPU only.
     pallas_layer_bwd: bool = False
+    # keep fc_out fused but permute its columns to [feat | sigma] inside
+    # the apply (a one-off [h, s+1] weight shuffle, exactly differentiable)
+    # so both output slices land lane-aligned: feat = out[..., :s] at
+    # offset 0 and sigma = out[..., s:] at offset s (a multiple of 128 for
+    # all shipped sizes) — instead of the reference column order's
+    # offset-1 slice, which XLA answers with transposed {0,2,1} layouts
+    # through the fine trunk at flagship shapes (PERF.md session 6).
+    fc_out_tail_sigma: bool = False
     # split fc_out into separate sigma/feat matmuls.  Serving-only lever:
     # consuming the fused [.., 257] output is FASTER under grad (one dw
     # matmul, the slice fuses into the backward: 179k vs 159k rays/s

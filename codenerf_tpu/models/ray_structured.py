@@ -250,6 +250,13 @@ def apply_codenerf_rays(params, cfg: CodeNeRFConfig, xyz_enc: jax.Array,
         # into the backward), so training keeps it.
         sigma = _mm(x, wo_top[:, :1], cd) + zs2_part[:, None, :1]
         feat = _mm(x, wo_top[:, 1:], cd) + zs2_part[:, None, 1:]
+    elif cfg.fc_out_tail_sigma:
+        # same fused matmul, columns permuted to [feat | sigma] so both
+        # slices are lane-aligned (see CodeNeRFConfig.fc_out_tail_sigma)
+        wo_r = jnp.concatenate([wo_top[:, 1:], wo_top[:, :1]], axis=1)
+        zs2_r = jnp.concatenate([zs2_part[:, 1:], zs2_part[:, :1]], axis=1)
+        out = _mm(x, wo_r, cd) + zs2_r[:, None, :]
+        feat, sigma = out[..., :-1], out[..., -1:]
     else:
         feat = _mm(x, wo_top, cd) + zs2_part[:, None, :]
         sigma, feat = feat[..., :1], feat[..., 1:]

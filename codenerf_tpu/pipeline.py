@@ -32,7 +32,8 @@ def model_config_from_spec(spec: ModelSpec, embedder: EmbedderConfig,
                            shape_code_size: int, texture_code_size: int,
                            compute_dtype: Optional[str] = None,
                            pallas_layer_bwd: bool = False,
-                           split_fc_out: bool = False):
+                           split_fc_out: bool = False,
+                           fc_out_tail_sigma: bool = False):
     """String-keyed model registry (reference util.py:118 getattr pattern)."""
     if spec.type == "CodeNeRFModel":
         return CodeNeRFConfig(
@@ -46,6 +47,7 @@ def model_config_from_spec(spec: ModelSpec, embedder: EmbedderConfig,
             compute_dtype=compute_dtype,
             pallas_layer_bwd=pallas_layer_bwd,
             split_fc_out=split_fc_out,
+            fc_out_tail_sigma=fc_out_tail_sigma,
         )
     if spec.type == "FlexibleNeRFModel":
         return FlexibleNeRFConfig(
@@ -112,7 +114,8 @@ class RenderSettings:
                      texture_code_size=cfg.models.embedding.texture_code_size,
                      compute_dtype=dt,
                      pallas_layer_bwd=cfg.runtime.pallas_layer_bwd,
-                     split_fc_out=cfg.runtime.split_fc_out)
+                     split_fc_out=cfg.runtime.split_fc_out,
+                     fc_out_tail_sigma=cfg.runtime.fc_out_tail_sigma)
         return RenderSettings(
             num_coarse=ps.num_coarse, num_fine=ps.num_fine,
             near=ps.near_limit, far=ps.far_limit,

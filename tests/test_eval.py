@@ -280,12 +280,20 @@ class TestImageRenderer:
             return (jnp.mean((out_c.rgb - target) ** 2)
                     + jnp.mean((out_f.rgb - target) ** 2))
 
+        tail = dc.replace(
+            settings,
+            coarse_cfg=dc.replace(settings.coarse_cfg,
+                                  fc_out_tail_sigma=True),
+            fine_cfg=dc.replace(settings.fine_cfg, fc_out_tail_sigma=True))
+
         l1, g1 = jax.value_and_grad(loss)(params, settings)
-        l2, g2 = jax.value_and_grad(loss)(params, split)
-        np.testing.assert_allclose(float(l1), float(l2), rtol=1e-6)
-        jax.tree_util.tree_map(
-            lambda a, b: np.testing.assert_allclose(
-                np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-6), g1, g2)
+        for variant in (split, tail):
+            l2, g2 = jax.value_and_grad(loss)(params, variant)
+            np.testing.assert_allclose(float(l1), float(l2), rtol=1e-6)
+            jax.tree_util.tree_map(
+                lambda a, b: np.testing.assert_allclose(
+                    np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-6),
+                g1, g2)
 
     def test_vanilla_render_without_codes(self):
         cfg, settings, state, dirs = _setup("FlexibleNeRFModel")
