@@ -44,7 +44,8 @@ def run_bench(num_rays: int = 8192, hidden: int = 256, code: int = 256,
               compute_dtype: str = "bfloat16", use_pallas: bool = False,
               pallas_backward: bool = False,
               pallas_hybrid: bool = False,
-              pallas_layer_bwd: bool = False) -> dict:
+              pallas_layer_bwd: bool = False,
+              fc_out_tail_sigma: bool = False) -> dict:
     import jax
     from codenerf_tpu.utils.cache import enable_compilation_cache
     enable_compilation_cache()
@@ -75,7 +76,8 @@ def run_bench(num_rays: int = 8192, hidden: int = 256, code: int = 256,
                               use_pallas=use_pallas,
                               pallas_backward=pallas_backward,
                               pallas_hybrid=pallas_hybrid,
-                              pallas_layer_bwd=pallas_layer_bwd),
+                              pallas_layer_bwd=pallas_layer_bwd,
+                              fc_out_tail_sigma=fc_out_tail_sigma),
     )
     settings = RenderSettings.from_config(cfg)
 
@@ -143,6 +145,9 @@ if __name__ == "__main__":
                     help="XLA forward + stored-activation Pallas backward")
     ap.add_argument("--layer-bwd", action="store_true",
                     help="single-pass Pallas backward per linear+relu layer")
+    ap.add_argument("--tail-sigma", action="store_true",
+                    help="fc_out columns permuted to [feat | sigma] "
+                         "(lane-aligned slices; runtime.fc_out_tail_sigma)")
     ap.add_argument("--rays", type=int, default=8192)
     ap.add_argument("--watchdog-minutes", type=float, default=25.0,
                     help="abort if no result within this long (wedged "
@@ -154,4 +159,5 @@ if __name__ == "__main__":
                                use_pallas=a.pallas or a.pallas_bwd,
                                pallas_backward=a.pallas_bwd,
                                pallas_hybrid=a.pallas_hybrid,
-                               pallas_layer_bwd=a.layer_bwd)))
+                               pallas_layer_bwd=a.layer_bwd,
+                               fc_out_tail_sigma=a.tail_sigma)))

@@ -218,9 +218,12 @@ class RuntimeConfig:
     # permute the fused fc_out's columns to [feat | sigma] inside the
     # apply so both output slices are lane-aligned (the reference order
     # puts sigma first, making the feat slice start at offset 1 — XLA
-    # answers with transposed layouts at flagship shapes).  Exactly
-    # differentiable; same math.  See CodeNeRFConfig.fc_out_tail_sigma.
-    fc_out_tail_sigma: bool = False
+    # answers with transposed layouts at flagship shapes).  Each output
+    # column's dot product is unchanged, so values are bit-identical.
+    # Measured: +4.2% at the flagship shape (139.6k -> 145.5k rays/s at
+    # 16384 rays, 32+128), neutral at the bench shape (179.7k vs 179.9k)
+    # -> default ON.  See CodeNeRFConfig.fc_out_tail_sigma.
+    fc_out_tail_sigma: bool = True
     # during validation, ALSO render each final image through the int8
     # serving path (models/quantized.py: s8xs8 MXU matmuls, int8
     # activation chain) and report its PSNR/SSIM next to the full-
