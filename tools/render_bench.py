@@ -58,6 +58,8 @@ def timed(name, fn, *args, steps=20):
 
 def main():
     R, H, C = 8192, 256, 256
+    if "--rays" in sys.argv:
+        R = int(sys.argv[sys.argv.index("--rays") + 1])
     cfg = Config(
         models=ModelsConfig(
             nerf_coarse=ModelSpec(type="CodeNeRFModel", hidden_size=H),
