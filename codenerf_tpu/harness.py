@@ -191,10 +191,15 @@ def validate(harness: Harness, params: dict, logger: MetricLogger,
 
 def _int8_render_params(harness: Harness, model_params: dict,
                         cam_pose: jax.Array, z_s: jax.Array, z_t: jax.Array,
-                        n_rays: int = 4096) -> dict:
+                        n_rays: int = 16384) -> dict:
     """Calibrate + quantize the models for int8 serving
     (models/quantized.py) on rays cast from the render pose itself —
-    the activation ranges the quantized render will actually see."""
+    the activation ranges the quantized render will actually see.
+
+    Default covers the FULL pixel grid at validation image sizes:
+    render sampling is deterministic, so full-grid calibration makes
+    the scales exact amaxes of the render's own activations (a 4096-ray
+    subsample left ~2.6 dB of saturation clipping on a chairs model)."""
     from codenerf_tpu.core.geometry import ray_bundle
     from codenerf_tpu.models.quantized import quantize_for_serving
     dirs = harness.directions.reshape(-1, 3)

@@ -8,12 +8,21 @@ quantize (scale, round, clip, cast) is elementwise and fuses into each
 matmul's epilogue, so only int8 tensors cross HBM between layers — and the
 s8 x s8 -> s32 matmuls run natively on the MXU at 2x the bf16 peak.
 
-Scheme: symmetric per-tensor activation scales (statically calibrated from
-one representative forward — dynamic per-call amax would force an extra
-f32 pass over every activation and erase the win) and per-output-channel
-weight scales.  Only the per-sample trunk matmuls are quantized; the
-per-ray conditioning precomputations (cost independent of the sample
-count; reference model.py:149-151,174-175) stay in the bf16/f32 path.
+Scheme: symmetric PER-INPUT-CHANNEL activation scales (statically
+calibrated from one representative forward — dynamic per-call amax would
+force an extra f32 pass over every activation and erase the win), folded
+into the weight rows so they cost nothing at run time:
+
+    x ~= xq * s_ch           (xq = round(x / s_ch), s_ch per channel)
+    y  = x @ W = xq @ (diag(s_ch) W) ~= (xq @ Wq') * sw'[out]
+
+with Wq'/sw' the per-output-column quantization of W' = diag(s_ch) @ W.
+Per-channel activation ranges after relu vary by orders of magnitude; a
+single per-tensor scale lets one hot channel crush the resolution of all
+the others (measured −2.6 dB on a chairs model; per-channel recovers
+it).  Only the per-sample trunk matmuls are quantized; the per-ray
+conditioning precomputations (cost independent of the sample count;
+reference model.py:149-151,174-175) stay in the bf16/f32 path.
 
 This is a SERVING lever: quantization is not differentiable (round has a
 zero gradient), so training and TTO never touch it.  The reference has no
@@ -42,7 +51,9 @@ ACT_NAMES = ("x1", "x2", "feat", "v1", "v2")
 
 
 def quantize_tensor(x: jax.Array, scale: jax.Array) -> jax.Array:
-    """Symmetric int8 quantization: round(x / scale) clipped to [-127, 127]."""
+    """Symmetric int8 quantization: round(x / scale) clipped to [-127, 127].
+
+    ``scale`` may be a scalar or a per-last-axis-channel vector."""
     q = jnp.round(x.astype(jnp.float32) / scale)
     return jnp.clip(q, -127.0, 127.0).astype(jnp.int8)
 
@@ -106,7 +117,8 @@ def trunk_activation_amax(params, cfg: CodeNeRFConfig, xyz_enc, dir_enc,
     amax = {}
 
     def cap(name, x):
-        amax[name] = jnp.max(jnp.abs(x.astype(jnp.float32)))
+        xf = x.astype(jnp.float32)
+        amax[name] = jnp.max(jnp.abs(xf), axis=tuple(range(xf.ndim - 1)))
         return x
 
     x1 = cap("x1", jax.nn.relu(_mm(xyz_enc, params["layer_xyz1"]["w"], cd)
@@ -127,9 +139,10 @@ def quantize_codenerf(params, cfg: CodeNeRFConfig, amax: dict) -> dict:
     """Build the quantized serving pytree for one CodeNeRF model.
 
     Returns the original params plus a "quant" subtree holding int8
-    weights for the six per-sample matmuls and the fused rescale vectors
-    (s_act * sw, folded at quantization time so the apply path multiplies
-    once per output element).
+    weights for the six per-sample matmuls and the rescale vectors.
+    The per-input-channel activation scales are folded into the weight
+    ROWS before weight quantization (see module docstring), so the
+    apply path multiplies once per output element.
     """
     h = cfg.hidden_size
     w2_top, _ = _split_w(params["layer_xyz2"], h)
@@ -141,8 +154,9 @@ def quantize_codenerf(params, cfg: CodeNeRFConfig, amax: dict) -> dict:
              for k in ACT_NAMES}
 
     def q(w, act_key):
-        wq, sw = quantize_weight(w)
-        return {"wq": wq, "scale": s_act[act_key] * sw}
+        s_ch = s_act[act_key]
+        wq, sw = quantize_weight(w.astype(jnp.float32) * s_ch[:, None])
+        return {"wq": wq, "scale": sw}
 
     quant = {
         "s_act": s_act,
@@ -226,7 +240,8 @@ def flexible_trunk_amax(params, cfg: FlexibleNeRFConfig, xyz_enc, dir_enc
     amax = {}
 
     def cap(name, x):
-        amax[name] = jnp.max(jnp.abs(x.astype(jnp.float32)))
+        xf = x.astype(jnp.float32)
+        amax[name] = jnp.max(jnp.abs(xf), axis=tuple(range(xf.ndim - 1)))
         return x
 
     h = cfg.hidden_size
@@ -252,15 +267,17 @@ def flexible_trunk_amax(params, cfg: FlexibleNeRFConfig, xyz_enc, dir_enc
 def quantize_flexible(params, cfg: FlexibleNeRFConfig, amax: dict) -> dict:
     """Quantized serving pytree for one FlexibleNeRF model: int8 weights
     for the per-sample trunk matmuls (skip layers quantize only the
-    hidden-state half; the xyz-encoding half stays on the bf16 path) and
-    the fused rescale vectors."""
+    hidden-state half; the xyz-encoding half stays on the bf16 path),
+    with per-input-channel activation scales folded into the weight
+    rows (see module docstring)."""
     h = cfg.hidden_size
     s_act = {k: jnp.maximum(v.astype(jnp.float32), 1e-12) / 127.0
              for k, v in amax.items()}
 
     def q(w, act_key):
-        wq, sw = quantize_weight(w)
-        return {"wq": wq, "scale": s_act[act_key] * sw}
+        s_ch = s_act[act_key]
+        wq, sw = quantize_weight(w.astype(jnp.float32) * s_ch[:, None])
+        return {"wq": wq, "scale": sw}
 
     layers = []
     for i, layer in enumerate(params["layers_xyz"]):

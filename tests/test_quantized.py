@@ -88,11 +88,16 @@ class TestQuantizedApply:
         assert q["fc_out_feat"]["wq"].shape == (32, 24)
         assert q["layer_dir1_top"]["wq"].shape == (24, 32)
         assert q["fc_rgb_top"]["wq"].shape == (32, 3)
-        # folded rescale = s_act * per-channel sw
-        _, sw = quantize_weight(params["layer_dir2"]["w"])
+        # per-input-channel activation scales fold into the weight ROWS
+        # before quantization; the stored rescale is the per-column sw
+        # of the folded weight
+        s_ch = np.asarray(q["s_act"]["v1"])
+        assert s_ch.shape == (32,)  # per channel, not per tensor
+        wp = np.asarray(params["layer_dir2"]["w"],
+                        np.float32) * s_ch[:, None]
+        _, sw = quantize_weight(jnp.asarray(wp))
         np.testing.assert_allclose(np.asarray(q["layer_dir2"]["scale"]),
-                                   np.asarray(q["s_act"]["v1"] * sw),
-                                   rtol=1e-6)
+                                   np.asarray(sw), rtol=1e-6)
 
 
 class TestQuantizedFlexible:
