@@ -220,6 +220,40 @@ class TestServingPipeline:
         psnr = -10.0 * np.log10(max(mse, 1e-12))
         assert psnr > 35.0, psnr
 
+    def test_quantized_render_mesh_equals_single_device(self):
+        """int8 params replicate over a device mesh like any others: the
+        sharded image render must equal the single-device one."""
+        from codenerf_tpu.core.geometry import pixel_directions
+        from codenerf_tpu.eval.render import make_image_renderer
+        from codenerf_tpu.parallel import make_mesh
+        cfg = _cfg()
+        settings = self._settings(cfg)
+        kc, kf = jax.random.split(jax.random.PRNGKey(21))
+        params = {"coarse": init_codenerf(kc, cfg),
+                  "fine": init_codenerf(kf, cfg)}
+        ro = jnp.zeros((16, 3), jnp.float32)
+        rd = jnp.ones((16, 3), jnp.float32)
+        zs_r = jnp.zeros((16, cfg.shape_code_size), jnp.float32)
+        zt_r = jnp.zeros((16, cfg.texture_code_size), jnp.float32)
+        qparams = quantize_for_serving(params, settings, ro, rd, zs_r, zt_r)
+
+        H = W = 8
+        intr = jnp.asarray([[10.0, 0, 4.0, 0], [0, 10.0, 4.0, 0],
+                            [0, 0, 1, 0], [0, 0, 0, 1]], jnp.float32)
+        dirs = pixel_directions(H, W, intr)
+        pose = jnp.eye(4, dtype=jnp.float32)
+        z_s = jnp.zeros((1, cfg.shape_code_size), jnp.float32)
+        z_t = jnp.zeros((1, cfg.texture_code_size), jnp.float32)
+
+        mesh = make_mesh(0)
+        assert mesh.size == 8
+        r1 = make_image_renderer(settings, H, W, chunksize=32)
+        r8 = make_image_renderer(settings, H, W, chunksize=32, mesh=mesh)
+        img1 = r1(qparams, dirs, pose, z_s, z_t)
+        img8 = r8(qparams, dirs, pose, z_s, z_t)
+        np.testing.assert_allclose(np.asarray(img1), np.asarray(img8),
+                                   rtol=1e-5, atol=1e-6)
+
     def test_image_renderer_accepts_qparams(self):
         from codenerf_tpu.core.geometry import pixel_directions
         from codenerf_tpu.eval.render import make_image_renderer
