@@ -45,7 +45,7 @@ def run_bench(num_rays: int = 8192, hidden: int = 256, code: int = 256,
               pallas_backward: bool = False,
               pallas_hybrid: bool = False,
               pallas_layer_bwd: bool = False,
-              fc_out_tail_sigma: bool = False) -> dict:
+              fc_out_tail_sigma: bool = True) -> dict:
     import jax
     from codenerf_tpu.utils.cache import enable_compilation_cache
     enable_compilation_cache()
@@ -145,9 +145,11 @@ if __name__ == "__main__":
                     help="XLA forward + stored-activation Pallas backward")
     ap.add_argument("--layer-bwd", action="store_true",
                     help="single-pass Pallas backward per linear+relu layer")
-    ap.add_argument("--tail-sigma", action="store_true",
-                    help="fc_out columns permuted to [feat | sigma] "
-                         "(lane-aligned slices; runtime.fc_out_tail_sigma)")
+    ap.add_argument("--no-tail-sigma", action="store_true",
+                    help="measure the reference fc_out column order instead "
+                         "of the default [feat | sigma] permutation "
+                         "(runtime.fc_out_tail_sigma; both measured within "
+                         "noise at this shape — PERF.md session 6)")
     ap.add_argument("--rays", type=int, default=8192)
     ap.add_argument("--watchdog-minutes", type=float, default=25.0,
                     help="abort if no result within this long (wedged "
@@ -160,4 +162,4 @@ if __name__ == "__main__":
                                pallas_backward=a.pallas_bwd,
                                pallas_hybrid=a.pallas_hybrid,
                                pallas_layer_bwd=a.layer_bwd,
-                               fc_out_tail_sigma=a.tail_sigma)))
+                               fc_out_tail_sigma=not a.no_tail_sigma)))

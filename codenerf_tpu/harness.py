@@ -164,34 +164,24 @@ def validate(harness: Harness, params: dict, logger: MetricLogger,
                 then = time.time()
         cam_pose = pose_spherical(tto.variables["theta"],
                                   tto.variables["phi"], tto.variables["rho"])
-        rgb = render(model_params, harness.directions, cam_pose,
-                     tto.variables["z_s"], tto.variables["z_t"])
-        out = _finish_validation(harness, target, rgb, logger, iteration)
-        if cfg.runtime.int8_serving:
-            qp = _int8_render_params(harness, model_params, cam_pose,
-                                     tto.variables["z_s"],
-                                     tto.variables["z_t"])
-            rgb_q = render(qp, harness.directions, cam_pose,
-                           tto.variables["z_s"], tto.variables["z_t"])
-            q = _finish_validation(harness, target, rgb_q, logger,
-                                   iteration, tag="val-int8")
-            out.update({"psnr_int8": q["psnr"], "ssim_int8": q["ssim"]})
-        return out
-    rgb = render(model_params, harness.directions, pose_gt, None, None)
+        z_s, z_t = tto.variables["z_s"], tto.variables["z_t"]
+    else:
+        cam_pose, z_s, z_t = pose_gt, None, None
 
+    rgb = render(model_params, harness.directions, cam_pose, z_s, z_t)
     out = _finish_validation(harness, target, rgb, logger, iteration)
     if cfg.runtime.int8_serving:
-        qp = _int8_render_params(harness, model_params, pose_gt, None, None)
-        rgb_q = render(qp, harness.directions, pose_gt, None, None)
+        qp = int8_render_params(harness, model_params, cam_pose, z_s, z_t)
+        rgb_q = render(qp, harness.directions, cam_pose, z_s, z_t)
         q = _finish_validation(harness, target, rgb_q, logger, iteration,
                                tag="val-int8")
         out.update({"psnr_int8": q["psnr"], "ssim_int8": q["ssim"]})
     return out
 
 
-def _int8_render_params(harness: Harness, model_params: dict,
-                        cam_pose: jax.Array, z_s: jax.Array, z_t: jax.Array,
-                        n_rays: int = 16384) -> dict:
+def int8_render_params(harness: Harness, model_params: dict,
+                       cam_pose: jax.Array, z_s: jax.Array, z_t: jax.Array,
+                       n_rays: int = 16384) -> dict:
     """Calibrate + quantize the models for int8 serving
     (models/quantized.py) on rays cast from the render pose itself —
     the activation ranges the quantized render will actually see.
@@ -371,14 +361,19 @@ def validate_batched(harness: Harness, params: dict, logger: MetricLogger,
             "pose_error": float(jax.device_get(m.pose_error[kk])),
         }
         if cfg.runtime.int8_serving:
-            qp = _int8_render_params(harness, model_params, cam_pose,
-                                     tto.variables["z_s"][kk:kk + 1],
-                                     tto.variables["z_t"][kk:kk + 1])
+            qp = int8_render_params(harness, model_params, cam_pose,
+                                    tto.variables["z_s"][kk:kk + 1],
+                                    tto.variables["z_t"][kk:kk + 1])
             rgb_q = render(qp, harness.directions, cam_pose,
                            tto.variables["z_s"][kk:kk + 1],
                            tto.variables["z_t"][kk:kk + 1])
             mse_q = float(jnp.mean((rgb_q - tflat[..., :3]) ** 2))
             row["psnr_int8"] = float(mse2psnr(jnp.asarray(mse_q)))
+            rgb_q_img = jnp.clip(rgb_q.reshape(harness.height,
+                                               harness.width, 3), 0.0, 1.0)
+            row["ssim_int8"] = float(ssim(rgb_q_img,
+                                          jnp.clip(target[..., :3],
+                                                   0.0, 1.0)))
         per_object.append(row)
         if is_main_process():
             logger.log_image(f"val/rgb_image_obj{kk}", iteration,
@@ -435,6 +430,8 @@ def validate_category(harness: Harness, params: dict, logger: MetricLogger,
     int8 = all("psnr_int8" in r for r in rows) and rows
     if int8:
         summary["psnr_int8_mean"] = float(np.mean([r["psnr_int8"]
+                                                   for r in rows]))
+        summary["ssim_int8_mean"] = float(np.mean([r["ssim_int8"]
                                                    for r in rows]))
     if is_main_process():
         print(f"[VAL   ] category evaluation over {len(rows)} objects "

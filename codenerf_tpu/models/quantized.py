@@ -36,13 +36,15 @@ Usage:
 
 from __future__ import annotations
 
+import functools
 from typing import Optional
 
 import jax
 import jax.numpy as jnp
 
 from codenerf_tpu.models.mlp import CodeNeRFConfig, FlexibleNeRFConfig
-from codenerf_tpu.models.ray_structured import _lin_relu, _mm, _split_w
+from codenerf_tpu.models.ray_structured import (_lin_relu, _mm, _split_w,
+                                                per_ray_conditioning)
 
 # Activations captured for calibration, in trunk order.  Every name is the
 # INPUT of one or more quantized matmuls (fc_out's sigma and feat matmuls
@@ -66,37 +68,16 @@ def quantize_weight(w: jax.Array):
 
 
 def _qdot(xq: jax.Array, wq: jax.Array, scale: jax.Array) -> jax.Array:
-    """s8 x s8 -> s32 matmul, rescaled to f32.  `scale` is s_act * sw [out]."""
+    """s8 x s8 -> s32 matmul, rescaled to f32.  `scale` is the
+    per-output-column sw of the activation-folded weight (the per-input-
+    channel activation scales are already inside wq's rows — see the
+    module docstring); do NOT multiply s_act in again."""
     y = jnp.dot(xq, wq, preferred_element_type=jnp.int32)
     return y.astype(jnp.float32) * scale
 
 
-def _per_ray_parts(params, cfg: CodeNeRFConfig, dir_enc, z_s, z_t):
-    """The per-ray conditioning precomputations of apply_codenerf_rays
-    (reference model.py:149-151,174-175 run once per ray, not per sample)."""
-    cd = cfg._cdtype
-    h = cfg.hidden_size
-    if cd is not None:
-        dir_enc = dir_enc.astype(cd)
-        z_s = z_s.astype(cd)
-        z_t = z_t.astype(cd)
-
-    def bias(y, b):
-        return y + b.astype(y.dtype)
-
-    zs1 = _lin_relu(params["shape_code_layer1"], z_s, cd)
-    zs2 = _lin_relu(params["shape_code_layer2"], z_s, cd)
-    zt1 = _lin_relu(params["texture_code_layer1"], z_t, cd)
-
-    _, w2_bot = _split_w(params["layer_xyz2"], h)
-    zs1_part = bias(_mm(zs1, w2_bot, cd), params["layer_xyz2"]["b"])
-    _, wo_bot = _split_w(params["fc_out"], h)
-    zs2_part = bias(_mm(zs2, wo_bot, cd), params["fc_out"]["b"])
-    _, wd_bot = _split_w(params["layer_dir1"], cfg.shape_code_size)
-    dir_part = bias(_mm(dir_enc, wd_bot, cd), params["layer_dir1"]["b"])
-    _, wr_bot = _split_w(params["fc_rgb"], h)
-    zt1_part = bias(_mm(zt1, wr_bot, cd), params["fc_rgb"]["b"])
-    return zs1_part, zs2_part, dir_part, zt1_part
+# the per-ray conditioning halves are shared with the fp apply
+_per_ray_parts = per_ray_conditioning
 
 
 def trunk_activation_amax(params, cfg: CodeNeRFConfig, xyz_enc, dir_enc,
@@ -358,16 +339,11 @@ def _quantize_model(params, cfg, amax: dict) -> dict:
     return quantize_flexible(params, cfg, amax)
 
 
-def quantize_for_serving(params: dict, settings, ro: jax.Array,
-                         rd: jax.Array, z_s: Optional[jax.Array],
-                         z_t: Optional[jax.Array]) -> dict:
-    """Calibrate + quantize {"coarse", "fine"} params on a representative
-    ray batch (e.g. the TTO rays of the object about to be rendered, or
-    rays from the render pose).  Works for both model families (z_s/z_t
-    are None for vanilla NeRF).  Deterministic sampling, mirroring the
-    render pipeline so the fine model is calibrated on true
-    importance-sampled points.
-    """
+@functools.lru_cache(maxsize=16)
+def _get_calibrator(settings):
+    """Jitted calibration forward, cached per (hashable, jit-static)
+    RenderSettings — quantize_for_serving is called once per object in
+    the batched/category eval loops and must not re-trace each time."""
     from codenerf_tpu.models.ray_structured import (apply_codenerf_rays,
                                                     apply_flexible_rays)
     from codenerf_tpu.ops.sampling import (base_z_vals, sample_stratified,
@@ -397,7 +373,20 @@ def quantize_for_serving(params: dict, settings, ro: jax.Array,
                              xyz_f, dir_enc, z_s, z_t)
         return amax_c, amax_f
 
-    amax_c, amax_f = calibrate(params, ro, rd, z_s, z_t)
+    return calibrate
+
+
+def quantize_for_serving(params: dict, settings, ro: jax.Array,
+                         rd: jax.Array, z_s: Optional[jax.Array],
+                         z_t: Optional[jax.Array]) -> dict:
+    """Calibrate + quantize {"coarse", "fine"} params on a representative
+    ray batch (e.g. the TTO rays of the object about to be rendered, or
+    rays from the render pose).  Works for both model families (z_s/z_t
+    are None for vanilla NeRF).  Deterministic sampling, mirroring the
+    render pipeline so the fine model is calibrated on true
+    importance-sampled points.
+    """
+    amax_c, amax_f = _get_calibrator(settings)(params, ro, rd, z_s, z_t)
     return {
         "coarse": _quantize_model(params["coarse"], settings.coarse_cfg,
                                   amax_c),

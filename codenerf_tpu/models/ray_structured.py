@@ -181,6 +181,46 @@ def _split_w(params, dim_top):
     return w[:dim_top], w[dim_top:]
 
 
+def per_ray_conditioning(params, cfg: CodeNeRFConfig, dir_enc: jax.Array,
+                         z_s: jax.Array, z_t: jax.Array):
+    """The per-ray halves of every factored concat-matmul (cost
+    independent of the sample count; reference model.py:149-151,174-175
+    runs these once per ray, not per sample).
+
+    Returns (zs1_part [R, h], zs2_part [R, s+1], dir_part [R, h],
+    zt1_part [R, 3]).  Shared by the fp apply below and the int8 serving
+    path (models/quantized.py), which quantizes only the per-sample
+    halves.
+    """
+    cd = cfg._cdtype
+    h = cfg.hidden_size
+    if cd is not None:
+        dir_enc = dir_enc.astype(cd)
+        z_s = z_s.astype(cd)
+        z_t = z_t.astype(cd)
+
+    def bias(y, b):
+        return y + b.astype(y.dtype)
+
+    zs1 = _lin_relu(params["shape_code_layer1"], z_s, cd)
+    zs2 = _lin_relu(params["shape_code_layer2"], z_s, cd)
+    zt1 = _lin_relu(params["texture_code_layer1"], z_t, cd)
+
+    # layer_xyz2 consumes concat(h, zs1): factor the zs1 half per-ray
+    _, w2_bot = _split_w(params["layer_xyz2"], h)
+    zs1_part = bias(_mm(zs1, w2_bot, cd), params["layer_xyz2"]["b"])
+    # fc_out consumes concat(h2, zs2)
+    _, wo_bot = _split_w(params["fc_out"], h)
+    zs2_part = bias(_mm(zs2, wo_bot, cd), params["fc_out"]["b"])
+    # layer_dir1 consumes concat(feat, dir_enc): dir half per-ray
+    _, wd_bot = _split_w(params["layer_dir1"], cfg.shape_code_size)
+    dir_part = bias(_mm(dir_enc, wd_bot, cd), params["layer_dir1"]["b"])
+    # fc_rgb consumes concat(v, zt1)
+    _, wr_bot = _split_w(params["fc_rgb"], h)
+    zt1_part = bias(_mm(zt1, wr_bot, cd), params["fc_rgb"]["b"])
+    return zs1_part, zs2_part, dir_part, zt1_part
+
+
 def apply_codenerf_rays(params, cfg: CodeNeRFConfig, xyz_enc: jax.Array,
                         dir_enc: jax.Array, z_s: jax.Array, z_t: jax.Array
                         ) -> jax.Array:
@@ -196,33 +236,18 @@ def apply_codenerf_rays(params, cfg: CodeNeRFConfig, xyz_enc: jax.Array,
     cd = cfg._cdtype
     h = cfg.hidden_size
     if cd is not None:
-        # cast once at the boundary so the large encodings/codes are read
-        # (and their remat residuals stored) at half width
+        # cast once at the boundary so the large encoding is read (and
+        # its remat residual stored) at half width; per_ray_conditioning
+        # casts the per-ray inputs itself
         xyz_enc = xyz_enc.astype(cd)
-        dir_enc = dir_enc.astype(cd)
-        z_s = z_s.astype(cd)
-        z_t = z_t.astype(cd)
-
-    def bias(y, b):
-        return y + b.astype(y.dtype)
 
     # ---- per-ray precomputations (cost independent of S) ----
-    zs1 = _lin_relu(params["shape_code_layer1"], z_s, cd)
-    zs2 = _lin_relu(params["shape_code_layer2"], z_s, cd)
-    zt1 = _lin_relu(params["texture_code_layer1"], z_t, cd)
-
-    # layer_xyz2 consumes concat(h, zs1): factor the zs1 half per-ray
-    w2_top, w2_bot = _split_w(params["layer_xyz2"], h)
-    zs1_part = bias(_mm(zs1, w2_bot, cd), params["layer_xyz2"]["b"])  # [R, h]
-    # fc_out consumes concat(h2, zs2)
-    wo_top, wo_bot = _split_w(params["fc_out"], h)
-    zs2_part = bias(_mm(zs2, wo_bot, cd), params["fc_out"]["b"])    # [R, s+1]
-    # layer_dir1 consumes concat(feat, dir_enc): dir half per-ray
-    wd_top, wd_bot = _split_w(params["layer_dir1"], cfg.shape_code_size)
-    dir_part = bias(_mm(dir_enc, wd_bot, cd), params["layer_dir1"]["b"])
-    # fc_rgb consumes concat(v, zt1)
-    wr_top, wr_bot = _split_w(params["fc_rgb"], h)
-    zt1_part = bias(_mm(zt1, wr_bot, cd), params["fc_rgb"]["b"])      # [R, 3]
+    zs1_part, zs2_part, dir_part, zt1_part = per_ray_conditioning(
+        params, cfg, dir_enc, z_s, z_t)
+    w2_top, _ = _split_w(params["layer_xyz2"], h)
+    wo_top, _ = _split_w(params["fc_out"], h)
+    wd_top, _ = _split_w(params["layer_dir1"], cfg.shape_code_size)
+    wr_top, _ = _split_w(params["fc_rgb"], h)
 
     # ---- per-sample trunk (single-residual fused linear+relu ops) ----
     pl_bwd = _layer_bwd_active(cfg)

@@ -246,9 +246,17 @@ class TestImageRenderer:
         ro = jnp.asarray(rng.normal(size=(16, 3)), jnp.float32)
         rd = jnp.asarray(rng.normal(size=(16, 3)), jnp.float32)
         z = jnp.asarray(rng.normal(size=(16, 16)) * 0.1, jnp.float32)
-        split = serving_settings(settings)
-        assert split.fine_cfg.split_fc_out and not settings.fine_cfg.split_fc_out
-        _, f1 = render_rays(params, settings, ro, rd, z, z, None, False)
+        # pin the reference column order explicitly (fc_out_tail_sigma
+        # defaults on): reference-order fused vs serving split
+        base = dc.replace(
+            settings,
+            coarse_cfg=dc.replace(settings.coarse_cfg, split_fc_out=False,
+                                  fc_out_tail_sigma=False),
+            fine_cfg=dc.replace(settings.fine_cfg, split_fc_out=False,
+                                fc_out_tail_sigma=False))
+        split = serving_settings(base)
+        assert split.fine_cfg.split_fc_out and not base.fine_cfg.split_fc_out
+        _, f1 = render_rays(params, base, ro, rd, z, z, None, False)
         _, f2 = render_rays(params, split, ro, rd, z, z, None, False)
         np.testing.assert_allclose(np.asarray(f1.rgb), np.asarray(f2.rgb),
                                    rtol=1e-5, atol=1e-6)
@@ -270,23 +278,23 @@ class TestImageRenderer:
         rd = jnp.asarray(rng.normal(size=(16, 3)), jnp.float32)
         z = jnp.asarray(rng.normal(size=(16, 16)) * 0.1, jnp.float32)
         target = jnp.asarray(rng.uniform(size=(16, 3)), jnp.float32)
-        split = dc.replace(
-            settings,
-            coarse_cfg=dc.replace(settings.coarse_cfg, split_fc_out=True),
-            fine_cfg=dc.replace(settings.fine_cfg, split_fc_out=True))
+        # baseline = the reference column order (both layout flags off);
+        # RuntimeConfig now defaults fc_out_tail_sigma=True, so build it
+        # explicitly — otherwise the tail leg compares the path to itself
+        def flags(s, **kw):
+            return dc.replace(s, coarse_cfg=dc.replace(s.coarse_cfg, **kw),
+                              fine_cfg=dc.replace(s.fine_cfg, **kw))
+
+        base = flags(settings, split_fc_out=False, fc_out_tail_sigma=False)
+        split = flags(base, split_fc_out=True)
+        tail = flags(base, fc_out_tail_sigma=True)
 
         def loss(p, s):
             out_c, out_f = render_rays(p, s, ro, rd, z, z, None, False)
             return (jnp.mean((out_c.rgb - target) ** 2)
                     + jnp.mean((out_f.rgb - target) ** 2))
 
-        tail = dc.replace(
-            settings,
-            coarse_cfg=dc.replace(settings.coarse_cfg,
-                                  fc_out_tail_sigma=True),
-            fine_cfg=dc.replace(settings.fine_cfg, fc_out_tail_sigma=True))
-
-        l1, g1 = jax.value_and_grad(loss)(params, settings)
+        l1, g1 = jax.value_and_grad(loss)(params, base)
         for variant in (split, tail):
             l2, g2 = jax.value_and_grad(loss)(params, variant)
             np.testing.assert_allclose(float(l1), float(l2), rtol=1e-6)

@@ -1,9 +1,10 @@
 #!/usr/bin/env python
-"""Forward-only (serving) render benchmark: XLA path vs Pallas fused trunk.
+"""Forward-only (serving) render benchmark.
 
-Full-image rendering has no backward pass, so the fused kernel's
-fwd-only economics differ from training; this decides which path the
-image renderer should default to.
+One variant per process (PERF.md: one benchmark configuration per
+process on the tunneled TPU): the default XLA bf16 path, --int8
+(models/quantized.py), or --pallas (fused trunk kernel).  Extra flags:
+--rays N, --profile DIR.
 """
 
 import sys
@@ -80,9 +81,11 @@ def main():
     z = jnp.asarray(rng.normal(size=(R, C)) * 0.1, jnp.float32)
 
     variants = [("XLA fwd-only", False, False)]
+    assert not ("--int8" in sys.argv and "--pallas" in sys.argv), \
+        "pick one variant per process"
     if "--int8" in sys.argv:
         variants = [("int8 fwd-only", False, True)]
-    if "--pallas" in sys.argv:
+    elif "--pallas" in sys.argv:
         variants = [("Pallas fwd-only", True, False)]
 
     for name, use_pallas, int8 in variants:

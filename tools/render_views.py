@@ -72,9 +72,9 @@ def main():
     thetas = np.linspace(args.theta_range[0], args.theta_range[1],
                          args.num_views)
     if args.int8:
-        from codenerf_tpu.harness import _int8_render_params
+        from codenerf_tpu.harness import int8_render_params
         pose0 = pose_spherical(float(thetas[0]), args.phi, args.rho)
-        params = _int8_render_params(harness, params, pose0, z_s, z_t)
+        params = int8_render_params(harness, params, pose0, z_s, z_t)
         print("serving through the int8 quantized path")
     for i, theta in enumerate(thetas):
         pose = pose_spherical(float(theta), args.phi, args.rho)
