@@ -3,6 +3,7 @@ from codenerf_tpu.core.geometry import (
     ray_bundle,
     select_ray_indices,
     pose_spherical,
+    ndc_rays,
 )
 from codenerf_tpu.core.encoding import positional_encoding, encoding_dim
 from codenerf_tpu.core import lie
@@ -13,6 +14,7 @@ __all__ = [
     "ray_bundle",
     "select_ray_indices",
     "pose_spherical",
+    "ndc_rays",
     "positional_encoding",
     "encoding_dim",
     "lie",

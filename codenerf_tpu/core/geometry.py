@@ -89,6 +89,48 @@ def select_ray_indices(key: jax.Array, num_pixels: int, sample_size: int,
     return jax.vmap(one)(keys).astype(jnp.int32)
 
 
+def ndc_rays(ro: jax.Array, rd: jax.Array, height: float, width: float,
+             focal: float, near: float = 1.0):
+    """Shift rays to the near plane and map them to NDC space.
+
+    The standard NeRF normalized-device-coordinate parametrization for
+    forward-facing (LLFF) scenes: cameras look down -z; after the transform
+    the visible frustum becomes the cube [-1,1]^3 and sampling linearly in
+    NDC z corresponds to sampling linearly in *disparity* in world space.
+    The reference's fern.yml declares ``no_ndc: false`` but the reference
+    never implements the transform (SURVEY §3.6 / VERDICT round-1 item 3);
+    this supplies the evidently-intended behavior.
+
+    Args:
+      ro, rd: [..., 3] world-frame ray origins / directions (camera forward
+        along -z, i.e. rd[..., 2] < 0 for rays in front of the camera).
+      height, width, focal: image geometry in pixels.
+      near: world-space distance of the plane mapped to NDC z = 0.
+
+    Returns: (ro_ndc, rd_ndc), each [..., 3].  The NDC z coordinate spans
+    [-1, 1] from the near plane to infinity, and the *ray parameter* t in
+    ro_ndc + t * rd_ndc spans [0, 1] over that range — so callers sample
+    t linearly in [0, 1] (near_limit=0, far_limit=1, linear-in-depth
+    spacing).  Fully differentiable (TTO pose gradients flow through it).
+    """
+    # move origins onto the near plane z = -near
+    t = -(near + ro[..., 2]) / rd[..., 2]
+    ro = ro + t[..., None] * rd
+
+    ox, oy, oz = ro[..., 0], ro[..., 1], ro[..., 2]
+    dx, dy, dz = rd[..., 0], rd[..., 1], rd[..., 2]
+    sx = -2.0 * focal / width
+    sy = -2.0 * focal / height
+    o0 = sx * ox / oz
+    o1 = sy * oy / oz
+    o2 = 1.0 + 2.0 * near / oz
+    d0 = sx * (dx / dz - ox / oz)
+    d1 = sy * (dy / dz - oy / oz)
+    d2 = -2.0 * near / oz
+    return (jnp.stack([o0, o1, o2], axis=-1),
+            jnp.stack([d0, d1, d2], axis=-1))
+
+
 def pose_spherical(theta: jax.Array, phi: jax.Array, rho: jax.Array) -> jax.Array:
     """Differentiable camera-to-world pose on a sphere looking at the origin.
 

@@ -76,6 +76,19 @@ class Harness:
             mesh = None
 
         settings = RenderSettings.from_config(cfg)
+        # NDC ray parametrization for forward-facing scenes (fern.yml's
+        # `no_ndc: false` intent, unimplemented in the reference — SURVEY
+        # §3.6).  Sampling happens in NDC z in [0, 1]; the reference's
+        # inverted spacing-mode labels mean "lindisp" IS the
+        # linear-in-depth branch (ops/sampling.py docstring), which in NDC
+        # equals linear-in-world-disparity.
+        from codenerf_tpu.data.llff import LLFFDataset
+        if isinstance(train_ds, LLFFDataset) and not cfg.dataset.no_ndc:
+            from dataclasses import replace as _replace
+            focal = float(np.asarray(probe["intrinsic"])[0, 0])
+            settings = _replace(settings, ndc=(float(height), float(width),
+                                               focal),
+                                near=0.0, far=1.0, spacing_mode="lindisp")
         return Harness(cfg=cfg, settings=settings, mesh=mesh,
                        train_dataset=train_ds, val_dataset=val_ds,
                        train_iter=train_iter, val_iter=val_iter,

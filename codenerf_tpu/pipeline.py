@@ -100,6 +100,11 @@ class RenderSettings:
     use_pallas: bool = False
     pallas_backward: bool = False
     pallas_hybrid: bool = False
+    # NDC ray parametrization for forward-facing (LLFF) scenes:
+    # (height, width, focal) in pixels, or None for world-space rays.
+    # Set by Harness.from_config when the dataset is LLFF and
+    # cfg.dataset.no_ndc is false (the fern.yml intent — SURVEY §3.6).
+    ndc: Optional[Tuple[float, float, float]] = None
 
     @staticmethod
     def from_config(cfg: Config, compute_dtype: Optional[str] = None
@@ -256,6 +261,15 @@ def render_rays(params: dict, settings: RenderSettings, ro: jax.Array,
     else:
         k1 = k2 = None
 
+    # NDC (LLFF forward-facing): sample/composite in NDC space, but encode
+    # view directions from the *world-space* rays (the standard NeRF split —
+    # viewdirs are computed before the NDC conversion).
+    rd_view = rd
+    if settings.ndc is not None:
+        from codenerf_tpu.core.geometry import ndc_rays
+        h, w, focal = settings.ndc
+        ro, rd = ndc_rays(ro, rd, h, w, focal)
+
     def fwd_c(p, pts, rd_, zs_, zt_):
         return _forward(p, settings.coarse_cfg, settings, pts, rd_, zs_, zt_)
 
@@ -276,14 +290,14 @@ def render_rays(params: dict, settings: RenderSettings, ro: jax.Array,
     z_grid = base_z_vals(settings.num_coarse, settings.near, settings.far,
                          settings.spacing_mode, dtype=ro.dtype)
     pts_c, z_c = sample_stratified(k1, ro, rd, z_grid, perturb)
-    raw_c = fwd_c(params["coarse"], pts_c, rd, z_s, z_t)
+    raw_c = fwd_c(params["coarse"], pts_c, rd_view, z_s, z_t)
     out_c = volume_render(raw_c, z_c, rd,
                           white_background=settings.white_background)
 
     # Interior-weight slice per reference nerf/__init__.py:87.
     pts_f, z_f = sample_pdf(k2, ro, rd, out_c.weights[..., 1:-1], z_c,
                             settings.num_fine, perturb)
-    raw_f = fwd_f(params["fine"], pts_f, rd, z_s, z_t)
+    raw_f = fwd_f(params["fine"], pts_f, rd_view, z_s, z_t)
     out_f = volume_render(raw_f, z_f, rd,
                           white_background=settings.white_background)
     return out_c, out_f

@@ -29,16 +29,41 @@ def lr_at_step(base_lr: float, gamma: float, step_size: int, step: int) -> float
     return base_lr * gamma ** (step / step_size)
 
 
+# The full torch.optim menagerie resolvable by name — the reference's
+# contract is ``getattr(torch.optim, cfg.optimizer.type)`` (util.py:159),
+# so any torch optimizer name a user puts in a config must resolve here.
+# Defaults follow torch's where they differ from optax's (e.g. RMSprop's
+# smoothing alpha is 0.99 in torch vs optax's 0.9 decay default).
 _OPTIMIZERS = {
     # torch.optim.AdamW default weight_decay is 1e-2
     "AdamW": lambda lr: optax.adamw(lr, weight_decay=1e-2),
     "Adam": optax.adam,
+    "Adamax": optax.adamax,
+    "NAdam": optax.nadam,
+    "RAdam": optax.radam,
+    "Adagrad": optax.adagrad,
+    "Adadelta": optax.adadelta,
     "SGD": optax.sgd,
-    "RMSprop": optax.rmsprop,
+    # torch ASGD's averaging has no optax analog; plain averaged-free SGD
+    # is the closest semantics for the step itself
+    "ASGD": optax.sgd,
+    "RMSprop": lambda lr: optax.rmsprop(lr, decay=0.99, eps=1e-8),
+    # Rprop maintains per-parameter adaptive step sizes seeded from a
+    # scalar; a decay schedule does not apply (evaluated at step 0)
+    "Rprop": lambda lr: optax.rprop(lr(0) if callable(lr) else lr),
+    # SparseAdam is Adam over sparse grads; TPU grads are dense
+    "SparseAdam": optax.adam,
 }
+
+# torch names with no sensible GradientTransformation mapping (LBFGS needs
+# a line search driven by value_and_grad closures)
+_UNSUPPORTED = {"LBFGS": "use a first-order optimizer on TPU"}
 
 
 def make_single_optimizer(opt_type: str, schedule) -> optax.GradientTransformation:
+    if opt_type in _UNSUPPORTED:
+        raise ValueError(f"optimizer type {opt_type} is not supported: "
+                         f"{_UNSUPPORTED[opt_type]}")
     if opt_type not in _OPTIMIZERS:
         raise ValueError(f"unknown optimizer type: {opt_type} "
                          f"(available: {sorted(_OPTIMIZERS)})")

@@ -16,10 +16,15 @@ bring an already-trained model across:
   * ShapeTextureEmbedding's two nn.Embedding tables (model.py:99-100) map
     to the ``codes`` {"shape", "texture"} arrays.
 
-Adam moment tensors are NOT imported: the reference's torch.optim state is
-keyed by parameter id and its hyperparameters live in the config; resuming
-cross-framework restarts the optimizer (the step counter — and therefore
-the LR-schedule position — IS imported).
+Adam/AdamW first and second moments ARE imported (round-2 VERDICT item 6):
+the reference's ``optimizer_state_dict`` (saved at train.py:133) keys state
+by global parameter id in param-group order — coarse.parameters(),
+fine.parameters(), embedding.parameters() (util.py:159-164), with each
+``nn.Linear`` contributing weight then bias in attribute-definition order.
+``exp_avg``/``exp_avg_sq`` tensors are mapped with the same transpose rules
+as the weights and grafted into the optax ``multi_transform`` state, so a
+cross-framework resume continues the same optimizer trajectory instead of
+restarting the moments.
 """
 
 from __future__ import annotations
@@ -96,6 +101,113 @@ def params_from_torch_checkpoint(ckpt: Mapping[str, Any],
     if model_type == "CodeNeRFModel":
         params["codes"] = codes_from_torch(ckpt["model_embedding_state_dict"])
     return params, int(ckpt.get("iter", 0))
+
+
+_CODENERF_LAYERS = ["layer_xyz1", "layer_xyz2", "fc_out", "shape_code_layer1",
+                    "shape_code_layer2", "texture_code_layer1", "layer_dir1",
+                    "layer_dir2", "fc_rgb"]
+
+
+def _torch_param_order(params: dict, model_type: str) -> list:
+    """(path, is_weight) tuples in the exact order torch's optimizer
+    enumerates parameters: param groups [coarse, fine, embedding]
+    (reference util.py:159-164); within a module, attribute definition
+    order (model.py:145-156 for CodeNeRF, model.py:27-43 for Flexible);
+    each nn.Linear yields weight then bias."""
+    order = []
+
+    def linear(section, name_path):
+        order.append(((section,) + name_path + ("w",), True))
+        order.append(((section,) + name_path + ("b",), False))
+
+    for section in ("coarse", "fine"):
+        p = params[section]
+        if model_type == "CodeNeRFModel":
+            for name in _CODENERF_LAYERS:
+                linear(section, (name,))
+        else:
+            linear(section, ("layer1",))
+            for i in range(len(p["layers_xyz"])):
+                linear(section, ("layers_xyz", i))
+            if "fc_feat" in p:      # use_viewdirs branch (model.py:36-41)
+                linear(section, ("fc_feat",))
+                linear(section, ("layer_dir1",))
+                linear(section, ("fc_alpha",))
+                linear(section, ("fc_rgb",))
+            else:
+                linear(section, ("fc_out",))
+    if "codes" in params:
+        # nn.Embedding tables: one weight each, no transpose (model.py:99-100)
+        order.append((("codes", "shape"), False))
+        order.append((("codes", "texture"), False))
+    return order
+
+
+def _set_at(tree, path, value):
+    for k in path[:-1]:
+        tree = tree[k]
+    tree[path[-1]] = value
+
+
+def moments_from_torch_optimizer(opt_sd: Mapping[str, Any], params: dict,
+                                 model_type: str) -> tuple:
+    """torch Adam/AdamW optimizer state dict -> (mu, nu) pytrees shaped
+    like ``params``.  Parameters the torch run never stepped keep zero
+    moments (torch lazily creates state on first step)."""
+    import jax
+
+    order = _torch_param_order(params, model_type)
+    ids = [pid for g in opt_sd["param_groups"] for pid in g["params"]]
+    if len(ids) != len(order):
+        raise ValueError(
+            f"optimizer state has {len(ids)} parameters but the model "
+            f"layout expects {len(order)} — wrong model_type or checkpoint")
+    mu = jax.tree.map(lambda a: np.zeros(a.shape, np.float32), params)
+    nu = jax.tree.map(lambda a: np.zeros(a.shape, np.float32), params)
+    state = opt_sd["state"]
+    for pid, (path, is_weight) in zip(ids, order):
+        st = state.get(pid, state.get(str(pid)))
+        if st is None:
+            continue
+        m, v = _np(st["exp_avg"]), _np(st["exp_avg_sq"])
+        if is_weight and m.ndim == 2:
+            m, v = m.T.copy(), v.T.copy()
+        _set_at(mu, path, m)
+        _set_at(nu, path, v)
+    to_jnp = lambda t: jax.tree.map(jnp.asarray, t)
+    return to_jnp(mu), to_jnp(nu)
+
+
+def graft_moments(opt_state, mu, nu, step: int):
+    """Replace every Adam mu/nu leaf in an optax opt_state with the
+    imported moments, and set every ``count`` to ``step`` (which also
+    restores the LR-schedule position).  Works through multi_transform /
+    masked wrappers: masked-out leaves flatten away, and the key path
+    after the ``mu``/``nu`` attribute mirrors the params pytree."""
+    import jax
+
+    def _key(entry):
+        for attr in ("name", "key", "idx"):
+            if hasattr(entry, attr):
+                return getattr(entry, attr)
+        return None
+
+    def lookup(tree, keys):
+        for k in keys:
+            tree = tree[k]
+        return tree
+
+    def fix(path, leaf):
+        names = [_key(e) for e in path]
+        if names and names[-1] == "count":
+            return jnp.asarray(step, leaf.dtype)
+        for moment_name, tree in (("mu", mu), ("nu", nu)):
+            if moment_name in names:
+                i = names.index(moment_name)
+                return jnp.asarray(lookup(tree, names[i + 1:]), leaf.dtype)
+        return leaf
+
+    return jax.tree_util.tree_map_with_path(fix, opt_state)
 
 
 def _torch_linear_sd(out, name, params):
@@ -196,13 +308,17 @@ def _num_objects_in(ckpt_dir: str, cfg, settings) -> int:
 
 
 def import_torch_checkpoint(ckpt_path: str, cfg, settings,
-                            out_dir: str) -> int:
+                            out_dir: str, import_optimizer: bool = True
+                            ) -> int:
     """Convert a reference .ckpt file into an Orbax checkpoint directory.
 
-    Builds a fresh TrainState for ``cfg`` (fresh optimizer state), replaces
-    its parameters with the imported ones and its step with the reference's
-    ``iter``, and saves with the standard checkpoint writer so ``train.py
-    --load-checkpoint``/``eval.py`` consume it directly.  Returns the step.
+    Builds a fresh TrainState for ``cfg``, replaces its parameters with the
+    imported ones and its step with the reference's ``iter``, grafts the
+    torch Adam/AdamW moments into the optax state when present (see
+    ``moments_from_torch_optimizer``; disable with
+    ``import_optimizer=False``), and saves with the standard checkpoint
+    writer so ``train.py --load-checkpoint``/``eval.py`` consume it
+    directly.  Returns the step.
     """
     import torch
     import jax
@@ -226,7 +342,13 @@ def import_torch_checkpoint(ckpt_path: str, cfg, settings,
             raise ValueError(
                 f"shape mismatch at {jax.tree_util.keystr(path[0])}: "
                 f"config says {a.shape}, checkpoint has {b.shape}")
-    state = TrainState(params=params, opt_state=state.opt_state,
+    opt_state = state.opt_state
+    torch_opt = ckpt.get("optimizer_state_dict") or {}
+    if (import_optimizer and torch_opt.get("state")
+            and cfg.optimizer.type in ("Adam", "AdamW")):
+        mu, nu = moments_from_torch_optimizer(torch_opt, params, model_type)
+        opt_state = graft_moments(opt_state, mu, nu, step)
+    state = TrainState(params=params, opt_state=opt_state,
                        step=jnp.asarray(step, jnp.int32))
     save_checkpoint(out_dir, state)
     return step

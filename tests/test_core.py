@@ -223,3 +223,73 @@ class TestLieNearPi:
             err = min(np.linalg.norm(w2 - np.asarray(w)),
                       np.linalg.norm(w2 + np.asarray(w)))
             assert err < 5e-4, (theta, err)
+
+
+class TestNDCRays:
+    """NDC parametrization for forward-facing scenes (fern.yml's
+    `no_ndc: false` intent — the reference never implements it,
+    SURVEY §3.6)."""
+
+    def _camera_rays(self, H=40, W=60, focal=50.0, shift=(0.1, -0.2, 0.3)):
+        from codenerf_tpu.core import pixel_directions, ray_bundle
+        k = _intrinsic(focal, W / 2.0, H / 2.0)
+        pose = np.eye(4, dtype=np.float32)
+        pose[:3, 3] = shift  # camera near origin looking down -z
+        ro, rd = ray_bundle(pixel_directions(H, W, jnp.asarray(k)),
+                            jnp.asarray(pose)[None])
+        return ro.reshape(-1, 3), rd.reshape(-1, 3)
+
+    def test_frustum_maps_into_unit_cube(self):
+        from codenerf_tpu.core import ndc_rays
+        H, W, focal = 40, 60, 50.0
+        ro, rd = self._camera_rays(H, W, focal, shift=(0.0, 0.0, 0.0))
+        ro_n, rd_n = ndc_rays(ro, rd, H, W, focal)
+        for t in [0.0, 0.25, 0.5, 0.99]:
+            p = np.asarray(ro_n + t * rd_n)
+            assert np.all(np.abs(p[:, 0]) <= 1.0 + 1e-4)
+            assert np.all(np.abs(p[:, 1]) <= 1.0 + 1e-4)
+            # NDC z spans [-1, 1] over ray parameter t in [0, 1]
+            assert np.all(np.abs(p[:, 2]) <= 1.0 + 1e-4)
+
+    def test_points_project_consistently(self):
+        """NDC of a world point on the ray lies on the NDC ray: the
+        standard-NeRF identity ndc(o + s d) = o' + s' d' with
+        s' = 1 - oz/(oz + s dz), after origins shift to the near plane."""
+        from codenerf_tpu.core import ndc_rays
+        H, W, focal, near = 40, 60, 50.0, 1.0
+        ro, rd = self._camera_rays(H, W, focal)
+        ro_n, rd_n = map(np.asarray, ndc_rays(ro, rd, H, W, focal, near))
+        # shift world origins to the near plane exactly as ndc_rays does
+        ro, rd = np.asarray(ro, np.float64), np.asarray(rd, np.float64)
+        tshift = -(near + ro[:, 2]) / rd[:, 2]
+        ro = ro + tshift[:, None] * rd
+        for s in [0.0, 0.7, 3.0, 50.0]:
+            p = ro + s * rd
+            px = -2.0 * focal / W * p[:, 0] / p[:, 2]
+            py = -2.0 * focal / H * p[:, 1] / p[:, 2]
+            pz = 1.0 + 2.0 * near / p[:, 2]
+            s_ndc = 1.0 - ro[:, 2] / (ro[:, 2] + s * rd[:, 2])
+            q = ro_n + s_ndc[:, None] * rd_n
+            np.testing.assert_allclose(q[:, 0], px, atol=2e-4)
+            np.testing.assert_allclose(q[:, 1], py, atol=2e-4)
+            np.testing.assert_allclose(q[:, 2], pz, atol=2e-4)
+
+    def test_z_near_plane_and_infinity_limits(self):
+        """Ray parameter 0 = near plane (NDC z = -1); parameter 1 = the
+        world-space limit t -> infinity (NDC z = +1)."""
+        from codenerf_tpu.core import ndc_rays
+        ro, rd = self._camera_rays()
+        ro_n, rd_n = map(np.asarray, ndc_rays(ro, rd, 40, 60, 50.0))
+        np.testing.assert_allclose(ro_n[:, 2], -1.0, atol=1e-5)
+        np.testing.assert_allclose(ro_n[:, 2] + rd_n[:, 2], 1.0, atol=1e-5)
+
+    def test_differentiable_for_pose_tto(self):
+        from codenerf_tpu.core import ndc_rays
+
+        def f(shift):
+            ro, rd = self._camera_rays(8, 8, 6.0, shift=(0.0, 0.0, 0.0))
+            ro_n, rd_n = ndc_rays(ro + shift, rd, 8, 8, 6.0)
+            return jnp.sum(ro_n ** 2 + rd_n ** 2)
+
+        g = jax.grad(f)(jnp.zeros(3))
+        assert np.all(np.isfinite(np.asarray(g)))

@@ -272,3 +272,143 @@ class TestFullCheckpointImport:
         with pytest.raises(ValueError, match="shape mismatch"):
             import_torch_checkpoint(str(p), cfg, settings,
                                     str(tmp_path / "o2"))
+
+
+class TestOptimizerMomentImport:
+    """Round-2 VERDICT item 6: torch Adam/AdamW moments must graft into the
+    optax state so cross-framework resume continues the same trajectory."""
+
+    def _cfg(self):
+        from codenerf_tpu.config.schema import (
+            Config, ModelsConfig, ModelSpec, EmbeddingSpec, NerfConfig,
+            PointSamplerConfig, EmbedderConfig, OptimizerConfig)
+        return Config(
+            models=ModelsConfig(
+                nerf_coarse=ModelSpec(type="CodeNeRFModel", hidden_size=32),
+                nerf_fine=ModelSpec(type="CodeNeRFModel", hidden_size=32),
+                embedding=EmbeddingSpec(shape_code_size=16,
+                                        texture_code_size=16)),
+            nerf=NerfConfig(
+                point_sampler=PointSamplerConfig(num_coarse=8, num_fine=8,
+                                                 near_limit=0.8,
+                                                 far_limit=1.8),
+                embedder=EmbedderConfig(num_encoding_fn_xyz=6,
+                                        num_encoding_fn_dir=4)),
+            optimizer=OptimizerConfig(type="AdamW", lr=1e-3,
+                                      embedding_lr=5e-3,
+                                      scheduler_gamma=0.1,
+                                      scheduler_step_size=100),
+        )
+
+    def _train_reference(self, tmp_path, steps=3, seed=8):
+        """Run `steps` AdamW steps on the reference models with the exact
+        reference param-group layout (util.py:159-164) and LambdaLR
+        schedule (util.py:166-170); the dummy loss sum(p^2) gives every
+        parameter the gradient 2p."""
+        import torch
+        coarse, fine, emb = _ref_models(seed=seed)
+        opt = torch.optim.AdamW([
+            {"params": coarse.parameters()},
+            {"params": fine.parameters()},
+            {"params": emb.parameters(), "lr": 5e-3},
+        ], lr=1e-3)
+        sched = torch.optim.lr_scheduler.LambdaLR(
+            opt, lr_lambda=lambda e: 0.1 ** (e / 100))
+
+        def one_step():
+            opt.zero_grad()
+            loss = sum(p.pow(2).sum()
+                       for m in (coarse, fine, emb) for p in m.parameters())
+            loss.backward()
+            opt.step()
+            sched.step()
+
+        for _ in range(steps):
+            one_step()
+        path = tmp_path / "ref.ckpt"
+        torch.save({
+            "iter": steps,
+            "model_nerf_coarse_state_dict": coarse.state_dict(),
+            "model_nerf_fine_state_dict": fine.state_dict(),
+            "model_embedding_state_dict": emb.state_dict(),
+            "optimizer_state_dict": opt.state_dict(),
+        }, path)
+        return coarse, fine, emb, opt, one_step, path
+
+    def test_moments_map_with_weight_transpose(self, tmp_path):
+        import torch
+        from codenerf_tpu.train.torch_import import (
+            moments_from_torch_optimizer)
+        coarse, fine, emb, opt, _, path = self._train_reference(tmp_path)
+        ckpt = torch.load(path, map_location="cpu", weights_only=False)
+        params, _ = params_from_torch_checkpoint(ckpt)
+        mu, nu = moments_from_torch_optimizer(
+            ckpt["optimizer_state_dict"], params, "CodeNeRFModel")
+        st = opt.state[coarse.layer_xyz1.weight]
+        np.testing.assert_allclose(np.asarray(mu["coarse"]["layer_xyz1"]["w"]),
+                                   st["exp_avg"].numpy().T)
+        st = opt.state[fine.fc_rgb.bias]
+        np.testing.assert_allclose(np.asarray(nu["fine"]["fc_rgb"]["b"]),
+                                   st["exp_avg_sq"].numpy())
+        st = opt.state[emb.shape_embedding.weight]
+        np.testing.assert_allclose(np.asarray(mu["codes"]["shape"]),
+                                   st["exp_avg"].numpy())
+
+    def test_resumed_step_matches_torch_resumed_step(self, tmp_path):
+        """Import ckpt+moments, apply one more identical-gradient step in
+        both frameworks: parameters must stay allclose — i.e. the resumed
+        trajectory matches a torch-resumed trajectory."""
+        import torch
+        import optax
+        from codenerf_tpu.pipeline import RenderSettings
+        from codenerf_tpu.train import init_train_state, checkpoint
+
+        coarse, fine, emb, opt, one_step, path = self._train_reference(
+            tmp_path)
+        cfg = self._cfg()
+        settings = RenderSettings.from_config(cfg)
+        out = tmp_path / "orbax"
+        step = import_torch_checkpoint(str(path), cfg, settings, str(out))
+        assert step == 3
+
+        fresh, optimizer = init_train_state(jax.random.PRNGKey(1), cfg,
+                                            settings, num_objects=5)
+        restored = checkpoint.restore_checkpoint(out, fresh)
+
+        # continue torch one step (same dummy loss => grad 2p)
+        one_step()
+        ck_want = {
+            "coarse": codenerf_params_from_torch(coarse.state_dict()),
+            "fine": codenerf_params_from_torch(fine.state_dict()),
+            "codes": codes_from_torch(emb.state_dict()),
+        }
+
+        grads = jax.tree.map(lambda p: 2.0 * p, restored.params)
+        updates, _ = optimizer.update(grads, restored.opt_state,
+                                      restored.params)
+        got = optax.apply_updates(restored.params, updates)
+        for a, b in zip(jax.tree.leaves(got), jax.tree.leaves(ck_want)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-5, atol=1e-7)
+
+    def test_moments_skipped_without_state(self, tmp_path):
+        """Empty optimizer_state_dict (our own exported ckpts) must import
+        cleanly with fresh (zero) moments."""
+        import torch
+        from codenerf_tpu.pipeline import RenderSettings
+        from codenerf_tpu.train import init_train_state, checkpoint
+
+        coarse, fine, emb = _ref_models(seed=9)
+        path = tmp_path / "ref.ckpt"
+        torch.save({
+            "iter": 7,
+            "model_nerf_coarse_state_dict": coarse.state_dict(),
+            "model_nerf_fine_state_dict": fine.state_dict(),
+            "model_embedding_state_dict": emb.state_dict(),
+            "optimizer_state_dict": {},
+        }, path)
+        cfg = self._cfg()
+        settings = RenderSettings.from_config(cfg)
+        out = tmp_path / "orbax"
+        assert import_torch_checkpoint(str(path), cfg, settings,
+                                       str(out)) == 7

@@ -232,3 +232,28 @@ class TestCheckpoint:
         state, _ = init_train_state(jax.random.PRNGKey(0), cfg, settings, 2)
         with pytest.raises(FileNotFoundError):
             checkpoint.restore_checkpoint(tmp_path / "nope", state)
+
+
+class TestOptimizerRegistry:
+    """The reference resolves any torch.optim name from the config
+    (util.py:159); every name must resolve to a working optax transform."""
+
+    def test_all_torch_optim_names_resolve(self):
+        import jax.numpy as jnp
+        from codenerf_tpu.train.optim import (make_single_optimizer,
+                                              _OPTIMIZERS)
+        params = {"w": jnp.ones((4, 3)), "b": jnp.zeros(3)}
+        grads = jax.tree.map(lambda p: 0.1 * jnp.ones_like(p), params)
+        for name in _OPTIMIZERS:
+            opt = make_single_optimizer(name, lambda s: 1e-3)
+            updates, _ = opt.update(grads, opt.init(params), params)
+            assert all(jnp.all(jnp.isfinite(u))
+                       for u in jax.tree.leaves(updates)), name
+
+    def test_unknown_and_unsupported_raise(self):
+        import pytest
+        from codenerf_tpu.train.optim import make_single_optimizer
+        with pytest.raises(ValueError, match="not supported"):
+            make_single_optimizer("LBFGS", 1e-3)
+        with pytest.raises(ValueError, match="unknown optimizer"):
+            make_single_optimizer("NoSuchOpt", 1e-3)
