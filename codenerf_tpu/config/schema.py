@@ -98,6 +98,13 @@ class OptimizerConfig:
     # from 0.  Restart 0 always uses the reference init.
     pose_restarts: int = 1
     pose_restart_steps: int = 50
+    # 6-DOF SE(3)-tangent pose refinement after spherical TTO
+    # (beyond-reference): the spherical (theta, phi, rho) parametrization
+    # (eval.py:22-38) cannot express off-sphere or rolled cameras; with
+    # se3_refine_steps > 0, a second stage optimizes codes plus a 6-vector
+    # xi with cam_pose = se3_exp(xi) @ spherical_result.  0 = off.
+    se3_refine_steps: int = 0
+    se3_refine_lr: float = 1e-3
 
     @property
     def resolved_embedding_lr(self) -> float:

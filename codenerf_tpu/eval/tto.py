@@ -247,6 +247,117 @@ def make_batched_tto_step(settings: RenderSettings, optimizer,
     return jax.jit(tto_step, donate_argnums=(0,))
 
 
+# ---------------------------------------------------------------------------
+# SE(3)-tangent pose refinement (beyond-reference, VERDICT round-1 item 7)
+# ---------------------------------------------------------------------------
+#
+# The spherical (theta, phi, rho) parametrization (reference eval.py:22-38)
+# spans exactly 3 of the 6 camera DOF: the camera always sits ON the sphere
+# around the origin and always looks AT the origin with a fixed roll.  For
+# off-sphere or rolled target cameras the spherical TTO saturates at the
+# closest expressible pose.  This second stage freezes the spherical result
+# as a base pose and optimizes codes plus a full 6-vector xi in the SE(3)
+# tangent space:  cam_pose = se3_exp(xi) @ base_pose  (core/lie.py::se3_exp,
+# xi = 0 at init = continue exactly from the spherical solution).
+
+def init_se3_refine_state(tto_state: TTOState, opt_cfg
+                          ) -> tuple[TTOState, object, jax.Array]:
+    """From a finished batched TTO state: returns (refine_state, optimizer,
+    base_poses [K, 4, 4]).  Codes carry over; xi starts at zero."""
+    from codenerf_tpu.train.optim import build_se3_refine_optimizer
+
+    v = tto_state.variables
+    K = v["z_s"].shape[0]
+    base_poses = jax.vmap(pose_spherical)(v["theta"], v["phi"], v["rho"])
+    variables = {
+        # copies, not aliases: the refine step donates its state, and a
+        # donated buffer shared with the caller's spherical TTOState would
+        # leave that state unreadable after the first refine step
+        "z_s": jnp.array(v["z_s"]),
+        "z_t": jnp.array(v["z_t"]),
+        "xi": jnp.zeros((K, 6), jnp.float32),
+    }
+    optimizer = build_se3_refine_optimizer(opt_cfg)
+    return (TTOState(variables, optimizer.init(variables),
+                     jnp.zeros((), jnp.int32)),
+            optimizer, base_poses)
+
+
+def se3_refined_poses(variables: dict, base_poses: jax.Array) -> jax.Array:
+    """cam_pose[k] = se3_exp(xi[k]) @ base_poses[k]."""
+    return jax.vmap(lambda xi, base: lie.se3_exp(xi) @ base)(
+        variables["xi"], base_poses)
+
+
+def make_se3_refine_step(settings: RenderSettings, optimizer,
+                         num_random_rays: int, regularizer_lambda: float,
+                         perturb: bool, mesh=None) -> Callable:
+    """Build the jitted K-object SE(3) refinement step.
+
+    Returned signature:
+      step(state, model_params, directions, target_images, base_poses,
+           poses_gt, key) -> (new_state, BatchedTTOMetrics)
+
+    Same ray-draw/loss structure as make_batched_tto_step; only the pose
+    parametrization differs.
+    """
+    R = num_random_rays
+
+    def loss_fn(variables, model_params, directions, target_images,
+                base_poses, key):
+        K = target_images.shape[0]
+        cam_poses = se3_refined_poses(variables, base_poses)
+        k_sel, k_render = jax.random.split(key)
+        H, W = directions.shape[:2]
+        ro, rd = ray_bundle(directions, cam_poses)
+        ro = ro.reshape(K, H * W, 3)
+        rd = rd.reshape(K, H * W, 3)
+        inds = select_ray_indices(k_sel, H * W, R, K)
+        ro = jnp.take_along_axis(ro, inds[..., None], axis=1).reshape(K * R, 3)
+        rd = jnp.take_along_axis(rd, inds[..., None], axis=1).reshape(K * R, 3)
+        target = jnp.take_along_axis(
+            target_images.reshape(K, H * W, -1), inds[..., None], axis=1)
+        target = target.reshape(K * R, -1)
+        ro, rd, target = shard_rays(mesh, ro, rd, target)
+
+        z_s = jnp.broadcast_to(variables["z_s"][:, None, :],
+                               (K, R, variables["z_s"].shape[-1]))
+        z_t = jnp.broadcast_to(variables["z_t"][:, None, :],
+                               (K, R, variables["z_t"].shape[-1]))
+        out_c, out_f = render_rays(
+            {"coarse": model_params["coarse"], "fine": model_params["fine"]},
+            settings, ro, rd, z_s.reshape(K * R, -1), z_t.reshape(K * R, -1),
+            k_render, perturb)
+
+        err_c = (out_c.rgb - target[..., :3]) ** 2
+        err_f = (out_f.rgb - target[..., :3]) ** 2
+        loss_c = jnp.mean(err_c.reshape(K, R, 3), axis=(1, 2))
+        loss_f = jnp.mean(err_f.reshape(K, R, 3), axis=(1, 2))
+        loss_e = regularizer_lambda * jnp.sqrt(float(R)) * (
+            jnp.linalg.norm(z_s[:, 0, :], axis=-1)
+            + jnp.linalg.norm(z_t[:, 0, :], axis=-1))
+        per_object = loss_c + loss_f + loss_e
+        return jnp.sum(per_object), (loss_c, loss_f, loss_e, per_object,
+                                     cam_poses)
+
+    def refine_step(state: TTOState, model_params, directions, target_images,
+                    base_poses, poses_gt, key):
+        (_, (loss_c, loss_f, loss_e, per_object, cam_poses)), grads = (
+            jax.value_and_grad(loss_fn, has_aux=True)(
+                state.variables, model_params, directions, target_images,
+                base_poses, key))
+        updates, opt_state = optimizer.update(grads, state.opt_state,
+                                              state.variables)
+        variables = optax.apply_updates(state.variables, updates)
+        perr = jax.vmap(lie.pose_error)(poses_gt, cam_poses)
+        metrics = BatchedTTOMetrics(
+            loss=per_object, loss_coarse=loss_c, loss_fine=loss_f,
+            loss_embedding=loss_e, psnr=mse2psnr(loss_f), pose_error=perr)
+        return TTOState(variables, opt_state, state.step + 1), metrics
+
+    return jax.jit(refine_step, donate_argnums=(0,))
+
+
 def select_per_object(mask: jax.Array, winner: TTOState, other: TTOState
                       ) -> TTOState:
     """Per-object merge of two batched TTO states: where ``mask[k]`` take

@@ -178,6 +178,44 @@ def validate(harness: Harness, params: dict, logger: MetricLogger,
         cam_pose = pose_spherical(tto.variables["theta"],
                                   tto.variables["phi"], tto.variables["rho"])
         z_s, z_t = tto.variables["z_s"], tto.variables["z_t"]
+
+        # opt-in SE(3)-tangent refinement (6-DOF; eval/tto.py) — lift the
+        # single-object state to the K=1 batched refine step
+        refine_steps = cfg.optimizer.se3_refine_steps
+        if refine_steps > 0:
+            from codenerf_tpu.eval.tto import (TTOState,
+                                               init_se3_refine_state,
+                                               make_se3_refine_step,
+                                               se3_refined_poses)
+            lifted = TTOState({
+                "z_s": jnp.reshape(z_s, (1, -1)),
+                "z_t": jnp.reshape(z_t, (1, -1)),
+                "theta": tto.variables["theta"][:1],
+                "phi": tto.variables["phi"][:1],
+                "rho": tto.variables["rho"][:1]}, None, tto.step)
+            ref, ref_opt, base_poses = init_se3_refine_state(lifted,
+                                                             cfg.optimizer)
+            ref_step = make_se3_refine_step(
+                harness.settings, ref_opt,
+                cfg.nerf.ray_sampler.num_random_rays,
+                cfg.experiment.regularizer_lambda,
+                cfg.nerf.point_sampler.perturb, mesh=harness.mesh)
+            then = time.time()
+            for vi in range(refine_steps):
+                key, k = jax.random.split(key)
+                ref, m = ref_step(ref, params, harness.directions,
+                                  target[None], base_poses, pose_gt[None], k)
+                if is_main_process() and (
+                        (vi != 0 and vi % cfg.experiment.val_print_every == 0)
+                        or vi == refine_steps - 1):
+                    line = logger.log_scalars("val-se3", vi, {
+                        "nerf_loss_fine": m.loss_fine[0],
+                        "pose_error": m.pose_error[0],
+                        "psnr": m.psnr[0]}, time_taken=time.time() - then)
+                    print(f"{line}(SE3 refine)")
+                    then = time.time()
+            cam_pose = se3_refined_poses(ref.variables, base_poses)[0]
+            z_s, z_t = ref.variables["z_s"], ref.variables["z_t"]
     else:
         cam_pose, z_s, z_t = pose_gt, None, None
 
@@ -347,6 +385,43 @@ def validate_batched(harness: Harness, params: dict, logger: MetricLogger,
                 "psnr": jnp.mean(m.psnr)}, time_taken=time.time() - then)
             print(f"{line}(mean over {K} objects)")
             then = time.time()
+    # SE(3)-tangent pose refinement stage (opt-in,
+    # optimizer.se3_refine_steps > 0): the spherical parametrization spans
+    # only 3 of 6 camera DOF; refine codes + a full 6-DOF correction
+    # cam_pose = se3_exp(xi) @ spherical_result (eval/tto.py).
+    refine_steps = cfg.optimizer.se3_refine_steps
+    if refine_steps > 0:
+        from codenerf_tpu.eval.tto import (init_se3_refine_state,
+                                           make_se3_refine_step,
+                                           se3_refined_poses)
+        ref, ref_opt, base_poses = init_se3_refine_state(tto, cfg.optimizer)
+        ref_step = make_se3_refine_step(
+            harness.settings, ref_opt,
+            cfg.nerf.ray_sampler.num_random_rays,
+            cfg.experiment.regularizer_lambda,
+            cfg.nerf.point_sampler.perturb, mesh=harness.mesh)
+        then = time.time()
+        for vi in range(refine_steps):
+            key, k = jax.random.split(key)
+            ref, m = ref_step(ref, params, harness.directions, targets,
+                              base_poses, poses_gt, k)
+            if is_main_process() and (
+                    (vi != 0 and vi % cfg.experiment.val_print_every == 0)
+                    or vi == refine_steps - 1):
+                line = logger.log_scalars("val-se3", vi, {
+                    "nerf_loss_fine": jnp.mean(m.loss_fine),
+                    "pose_error": jnp.mean(m.pose_error),
+                    "psnr": jnp.mean(m.psnr)},
+                    time_taken=time.time() - then)
+                print(f"{line}(SE3 refine, mean over {K} objects)")
+                then = time.time()
+        final_poses = se3_refined_poses(ref.variables, base_poses)
+        z_s_all, z_t_all = ref.variables["z_s"], ref.variables["z_t"]
+    else:
+        final_poses = jax.vmap(pose_spherical)(
+            tto.variables["theta"], tto.variables["phi"],
+            tto.variables["rho"])
+        z_s_all, z_t_all = tto.variables["z_s"], tto.variables["z_t"]
     tto_secs = time.time() - t_start
 
     # per-object full-image renders (one compiled renderer, K invocations)
@@ -357,12 +432,9 @@ def validate_batched(harness: Harness, params: dict, logger: MetricLogger,
     model_params = {"coarse": params["coarse"], "fine": params["fine"]}
     per_object = []
     for kk in range(K):
-        cam_pose = pose_spherical(tto.variables["theta"][kk],
-                                  tto.variables["phi"][kk],
-                                  tto.variables["rho"][kk])
+        cam_pose = final_poses[kk]
         rgb = render(model_params, harness.directions, cam_pose,
-                     tto.variables["z_s"][kk:kk + 1],
-                     tto.variables["z_t"][kk:kk + 1])
+                     z_s_all[kk:kk + 1], z_t_all[kk:kk + 1])
         target = targets[kk]
         tflat = target.reshape(-1, target.shape[-1])
         mse = float(jnp.mean((rgb - tflat[..., :3]) ** 2))
@@ -375,11 +447,11 @@ def validate_batched(harness: Harness, params: dict, logger: MetricLogger,
         }
         if cfg.runtime.int8_serving:
             qp = int8_render_params(harness, model_params, cam_pose,
-                                    tto.variables["z_s"][kk:kk + 1],
-                                    tto.variables["z_t"][kk:kk + 1])
+                                    z_s_all[kk:kk + 1],
+                                    z_t_all[kk:kk + 1])
             rgb_q = render(qp, harness.directions, cam_pose,
-                           tto.variables["z_s"][kk:kk + 1],
-                           tto.variables["z_t"][kk:kk + 1])
+                           z_s_all[kk:kk + 1],
+                           z_t_all[kk:kk + 1])
             mse_q = float(jnp.mean((rgb_q - tflat[..., :3]) ** 2))
             row["psnr_int8"] = float(mse2psnr(jnp.asarray(mse_q)))
             rgb_q_img = jnp.clip(rgb_q.reshape(harness.height,

@@ -113,3 +113,19 @@ def build_tto_optimizer(opt_cfg) -> optax.GradientTransformation:
                 "theta": "angles", "phi": "angles", "rho": "radius"}
 
     return optax.multi_transform(groups, label_fn)
+
+
+def build_se3_refine_optimizer(opt_cfg) -> optax.GradientTransformation:
+    """Second-stage TTO optimizer (beyond-reference): codes @ val_lr,
+    SE(3)-tangent pose update xi @ se3_refine_lr; no decay schedule."""
+    groups = {
+        "codes": make_single_optimizer(opt_cfg.resolved_val_type,
+                                       opt_cfg.val_lr),
+        "xi": make_single_optimizer(opt_cfg.resolved_val_type,
+                                    opt_cfg.se3_refine_lr),
+    }
+
+    def label_fn(params):
+        return {"z_s": "codes", "z_t": "codes", "xi": "xi"}
+
+    return optax.multi_transform(groups, label_fn)

@@ -311,3 +311,107 @@ class TestImageRenderer:
                      pose_spherical(1.57, 0.0, 1.3), None, None)
         assert rgb.shape == (64, 3)
         assert np.isfinite(np.asarray(rgb)).all()
+
+
+class TestSE3Refine:
+    """SE(3)-tangent pose refinement after spherical TTO (beyond-reference,
+    round-2): recovers off-sphere / rolled cameras the spherical (theta,
+    phi, rho) parametrization cannot express."""
+
+    def _offsphere_setup(self):
+        from codenerf_tpu.core import lie
+        cfg, settings, state, dirs = _setup()
+        # well-conditioned toy scene: tie coarse = fine (so the coarse loss
+        # term's pose minimum coincides with the fine one) and sharpen the
+        # first layer so the rendered image carries spatial pose signal
+        params = dict(state.params)
+        fine = dict(state.params["fine"])
+        fine["layer_xyz1"] = {"w": fine["layer_xyz1"]["w"] * 4.0,
+                              "b": fine["layer_xyz1"]["b"]}
+        params["coarse"] = params["fine"] = fine
+        # GT camera: spherical pose perturbed by a rigid 6-DOF delta
+        # (rotation incl. roll + off-sphere translation)
+        base_gt = pose_spherical(1.6, 0.1, 1.3)
+        xi_gt = jnp.asarray([0.04, -0.03, 0.05, 0.06, -0.05, 0.04])
+        pose_gt = lie.se3_exp(xi_gt) @ base_gt
+        # target rendered by the model itself at known codes + GT pose:
+        # the refine loss has its minimum at the exact GT pose
+        z_s = params["codes"]["shape"][:1]
+        z_t = params["codes"]["texture"][:1]
+        render = make_image_renderer(settings, 8, 8, chunksize=64)
+        rgb = render({"coarse": params["coarse"],
+                      "fine": params["fine"]}, dirs, pose_gt, z_s, z_t)
+        target = rgb.reshape(8, 8, 3)
+        return cfg, settings, params, dirs, pose_gt, target, (z_s, z_t)
+
+    def test_xi_zero_reproduces_spherical_pose(self):
+        from codenerf_tpu.eval.tto import (init_se3_refine_state,
+                                           se3_refined_poses)
+        cfg, settings, state, dirs = _setup()
+        tto, _ = init_batched_tto_state(state.params["codes"], cfg.optimizer,
+                                        num_objects=3)
+        ref, _, base = init_se3_refine_state(tto, cfg.optimizer)
+        np.testing.assert_allclose(np.asarray(ref.variables["xi"]), 0.0)
+        poses = se3_refined_poses(ref.variables, base)
+        np.testing.assert_allclose(np.asarray(poses), np.asarray(base),
+                                   atol=1e-6)
+        # codes carry over from the spherical stage
+        np.testing.assert_allclose(np.asarray(ref.variables["z_s"]),
+                                   np.asarray(tto.variables["z_s"]))
+
+    def test_refine_recovers_offsphere_pose(self):
+        """Starting from the closest spherical pose, the SE3 stage must cut
+        the pose error (the spherical stage is structurally stuck there)."""
+        from codenerf_tpu.core import lie
+        from codenerf_tpu.eval.tto import (TTOState, init_se3_refine_state,
+                                           make_se3_refine_step,
+                                           se3_refined_poses)
+        (cfg, settings, params, dirs, pose_gt, target,
+         (z_s, z_t)) = self._offsphere_setup()
+
+        # spherical stage result = the generating spherical parameters
+        # (the best any spherical optimizer could do is this neighborhood)
+        tto = TTOState({"z_s": z_s, "z_t": z_t,
+                        "theta": jnp.asarray([1.6]),
+                        "phi": jnp.asarray([0.1]),
+                        "rho": jnp.asarray([1.3])}, None,
+                       jnp.zeros((), jnp.int32))
+        from dataclasses import replace
+        opt_cfg = replace(cfg.optimizer, se3_refine_lr=2e-3, val_lr=1e-4)
+        ref, opt, base = init_se3_refine_state(tto, opt_cfg)
+        err0 = float(lie.pose_error(pose_gt, base[0]))
+        assert err0 > 0.05  # the spherical pose is genuinely off
+
+        step = make_se3_refine_step(settings, opt, num_random_rays=64,
+                                    regularizer_lambda=0.0, perturb=False)
+        key = jax.random.PRNGKey(3)
+        for i in range(200):
+            key, k = jax.random.split(key)
+            ref, m = step(ref, params, dirs, target[None], base,
+                          pose_gt[None], k)
+        err1 = float(lie.pose_error(
+            pose_gt, se3_refined_poses(ref.variables, base)[0]))
+        assert np.isfinite(float(m.loss[0]))
+        assert err1 < 0.6 * err0, (err0, err1)
+
+    def test_refine_step_reduces_loss(self):
+        from codenerf_tpu.eval.tto import (init_se3_refine_state,
+                                           make_se3_refine_step)
+        cfg, settings, state, dirs = _setup()
+        tto, _ = init_batched_tto_state(state.params["codes"], cfg.optimizer,
+                                        num_objects=2)
+        ref, opt, base = init_se3_refine_state(tto, cfg.optimizer)
+        step = make_se3_refine_step(settings, opt, num_random_rays=32,
+                                    regularizer_lambda=1e-5, perturb=True)
+        targets = jnp.stack([jnp.full((8, 8, 3), 0.3),
+                             jnp.full((8, 8, 3), 0.7)])
+        poses_gt = jnp.stack([base[0], base[1]])
+        key = jax.random.PRNGKey(5)
+        losses = []
+        for i in range(15):
+            key, k = jax.random.split(key)
+            ref, m = step(ref, state.params, dirs, targets, base,
+                          poses_gt, k)
+            losses.append(np.asarray(m.loss))
+        assert np.mean(losses[-3:], axis=0)[0] < losses[0][0]
+        assert np.mean(losses[-3:], axis=0)[1] < losses[0][1]

@@ -27,6 +27,30 @@ import numpy as np
 import imageio.v2 as imageio
 
 
+def rotation_from_axis_angle(w):
+    """Rodrigues formula; w is an axis-angle 3-vector."""
+    th = np.linalg.norm(w)
+    if th < 1e-9:
+        return np.eye(3)
+    k = w / th
+    K = np.array([[0, -k[2], k[1]], [k[2], 0, -k[0]], [-k[1], k[0], 0]])
+    return np.eye(3) + np.sin(th) * K + (1.0 - np.cos(th)) * (K @ K)
+
+
+def jitter_pose(pose, rng, magnitude):
+    """Apply a random rigid 6-DOF perturbation: rotation up to `magnitude`
+    radians (including roll) and translation up to 0.4*magnitude world
+    units — produces off-sphere, rolled cameras the spherical (theta, phi,
+    rho) TTO parametrization cannot express (SE3-refinement test data)."""
+    w = rng.normal(size=3)
+    w = w / (np.linalg.norm(w) + 1e-12) * rng.uniform(0.3, 1.0) * magnitude
+    t = rng.uniform(-0.4 * magnitude, 0.4 * magnitude, size=3)
+    delta = np.eye(4)
+    delta[:3, :3] = rotation_from_axis_angle(w)
+    delta[:3, 3] = t
+    return delta @ pose
+
+
 def spherical_pose(theta, phi, rho):
     """Same parametrization as codenerf_tpu.core.geometry.pose_spherical."""
     st, ct, sp, cp = np.sin(theta), np.cos(theta), np.sin(phi), np.cos(phi)
@@ -477,6 +501,12 @@ def main():
     ap.add_argument("--val-views", type=int, default=4)
     ap.add_argument("--size", type=int, default=32)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--val-pose-jitter", type=float, default=0.0,
+                    help="6-DOF off-sphere perturbation of val-stage "
+                         "cameras (radians of rotation; translation scales "
+                         "with it).  Uses a side rng so the generated "
+                         "objects are identical to a jitter-free run with "
+                         "the same seed.")
     args = ap.parse_args()
 
     category = args.category
@@ -509,6 +539,9 @@ def main():
                 phi = rng.uniform(-0.5, 0.5)
                 rho = 1.3
                 pose_gl = spherical_pose(theta, phi, rho)
+                if stage == "val" and args.val_pose_jitter > 0:
+                    jr = np.random.default_rng([args.seed, 9009, o, v])
+                    pose_gl = jitter_pose(pose_gl, jr, args.val_pose_jitter)
                 img, _ = render(H, W, focal, pose_gl)
                 imageio.imwrite(d / "rgb" / f"{v:06d}.png", img)
                 # loader applies diag(1,-1,-1,1) on read; store the
