@@ -232,3 +232,15 @@ def test_multihost_distributed_training():
         cwd=ROOT, capture_output=True, text=True, timeout=280)
     assert res.returncode == 0, res.stdout[-2000:] + res.stderr[-500:]
     assert "multihost_smoke: PASS" in res.stdout
+
+
+def test_tpu_selftest_cpu_smoke():
+    """tools/tpu_selftest.py harness stays runnable (interpret mode on CPU;
+    the compiled-kernel assertion it exists for needs the real chip)."""
+    res = subprocess.run(
+        [sys.executable, "tools/tpu_selftest.py", "--platform", "cpu",
+         "--families", "layer_bwd,int8", "--rays", "32", "--samples", "8",
+         "--hidden", "32"],
+        cwd=ROOT, capture_output=True, text=True, timeout=280)
+    assert res.returncode == 0, res.stdout[-2000:] + res.stderr[-500:]
+    assert "SELFTEST PASS" in res.stdout
