@@ -237,6 +237,11 @@ class RuntimeConfig:
     # precision render — the quality A/B for the quantized server.
     # CodeNeRF models only.
     int8_serving: bool = False
+    # with int8_serving: also quantize the positional-encoding stream into
+    # layer_xyz1 (s8 encode bytes across HBM + one more s8xs8 matmul) at
+    # 1/254 sin/cos amplitude resolution — the measured-quality-trade
+    # lever PERF.md session 6 left open.  CodeNeRF models only.
+    int8_encode: bool = False
 
 
 @dataclass(frozen=True)

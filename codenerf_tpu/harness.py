@@ -254,7 +254,8 @@ def int8_render_params(harness: Harness, model_params: dict,
         zs = jnp.broadcast_to(z_s, (n, z_s.shape[-1]))
         zt = jnp.broadcast_to(z_t, (n, z_t.shape[-1]))
     return quantize_for_serving(model_params, harness.settings, ro, rd,
-                                zs, zt)
+                                zs, zt,
+                                encode_stream=harness.cfg.runtime.int8_encode)
 
 
 def _finish_validation(harness, target, rgb, logger, iteration,

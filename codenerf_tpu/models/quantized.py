@@ -102,6 +102,7 @@ def trunk_activation_amax(params, cfg: CodeNeRFConfig, xyz_enc, dir_enc,
         amax[name] = jnp.max(jnp.abs(xf), axis=tuple(range(xf.ndim - 1)))
         return x
 
+    cap("x0", xyz_enc)  # encode stream (used only by encode_stream=True)
     x1 = cap("x1", jax.nn.relu(_mm(xyz_enc, params["layer_xyz1"]["w"], cd)
                                + params["layer_xyz1"]["b"].astype(
                                    cd or jnp.float32)))
@@ -116,7 +117,8 @@ def trunk_activation_amax(params, cfg: CodeNeRFConfig, xyz_enc, dir_enc,
     return amax
 
 
-def quantize_codenerf(params, cfg: CodeNeRFConfig, amax: dict) -> dict:
+def quantize_codenerf(params, cfg: CodeNeRFConfig, amax: dict,
+                      encode_stream: bool = False) -> dict:
     """Build the quantized serving pytree for one CodeNeRF model.
 
     Returns the original params plus a "quant" subtree holding int8
@@ -124,6 +126,12 @@ def quantize_codenerf(params, cfg: CodeNeRFConfig, amax: dict) -> dict:
     The per-input-channel activation scales are folded into the weight
     ROWS before weight quantization (see module docstring), so the
     apply path multiplies once per output element.
+
+    encode_stream=True additionally quantizes layer_xyz1's INPUT — the
+    positional-encoding stream (PERF.md: ~0.8 ms/iter of bf16 encode
+    materialization at serving shapes).  The sin/cos bands then carry
+    1/254 amplitude resolution, a measured spatial-signal quality trade
+    (runtime.int8_encode A/B) rather than a free win like the trunk.
     """
     h = cfg.hidden_size
     w2_top, _ = _split_w(params["layer_xyz2"], h)
@@ -131,8 +139,9 @@ def quantize_codenerf(params, cfg: CodeNeRFConfig, amax: dict) -> dict:
     wd_top, _ = _split_w(params["layer_dir1"], cfg.shape_code_size)
     wr_top, _ = _split_w(params["fc_rgb"], h)
 
+    names = ACT_NAMES + (("x0",) if encode_stream else ())
     s_act = {k: jnp.maximum(amax[k].astype(jnp.float32), 1e-12) / 127.0
-             for k in ACT_NAMES}
+             for k in names}
 
     def q(w, act_key):
         s_ch = s_act[act_key]
@@ -148,6 +157,8 @@ def quantize_codenerf(params, cfg: CodeNeRFConfig, amax: dict) -> dict:
         "layer_dir2": q(params["layer_dir2"]["w"], "v1"),
         "fc_rgb_top": q(wr_top, "v2"),
     }
+    if encode_stream:
+        quant["layer_xyz1"] = q(params["layer_xyz1"]["w"], "x0")
     return {**params, "quant": quant}
 
 
@@ -158,10 +169,11 @@ def apply_codenerf_rays_q(qparams, cfg: CodeNeRFConfig, xyz_enc: jax.Array,
 
     Same layer graph as apply_codenerf_rays (reference model.py:160-194);
     the per-sample trunk runs s8 x s8 -> s32 on the MXU with activations
-    crossing HBM as int8.  layer_xyz1 stays in the bf16 path: its input is
-    the [.., dim_xyz] positional encoding (computed on the fly, narrow,
-    lane-misaligned for int8 tiling) — quantizing it costs more glue than
-    its 63/256 share of the trunk FLOPs is worth.
+    crossing HBM as int8.  layer_xyz1 stays in the bf16 path by default:
+    its input is the [.., dim_xyz] positional encoding (computed on the
+    fly, narrow, lane-misaligned for int8 tiling).  When the quantized
+    pytree was built with encode_stream=True (runtime.int8_encode) the
+    encode stream is also quantized and layer_xyz1 runs s8 x s8 too.
     """
     cd = cfg._cdtype
     q = qparams["quant"]
@@ -171,7 +183,13 @@ def apply_codenerf_rays_q(qparams, cfg: CodeNeRFConfig, xyz_enc: jax.Array,
     zs1_part, zs2_part, dir_part, zt1_part = _per_ray_parts(
         qparams, cfg, dir_enc, z_s, z_t)
 
-    x1 = _lin_relu(qparams["layer_xyz1"], xyz_enc, cd)
+    if "layer_xyz1" in q:
+        x0q = quantize_tensor(xyz_enc, s["x0"])
+        x1 = jax.nn.relu(_qdot(x0q, q["layer_xyz1"]["wq"],
+                               q["layer_xyz1"]["scale"])
+                         + qparams["layer_xyz1"]["b"].astype(jnp.float32))
+    else:
+        x1 = _lin_relu(qparams["layer_xyz1"], xyz_enc, cd)
     x1q = quantize_tensor(x1, s["x1"])
 
     x2 = jax.nn.relu(_qdot(x1q, q["layer_xyz2_top"]["wq"],
@@ -333,10 +351,11 @@ def _trunk_amax(params, cfg, xyz_enc, dir_enc, z_s, z_t) -> dict:
     return flexible_trunk_amax(params, cfg, xyz_enc, dir_enc)
 
 
-def _quantize_model(params, cfg, amax: dict) -> dict:
+def _quantize_model(params, cfg, amax: dict,
+                    encode_stream: bool = False) -> dict:
     if isinstance(cfg, CodeNeRFConfig):
-        return quantize_codenerf(params, cfg, amax)
-    return quantize_flexible(params, cfg, amax)
+        return quantize_codenerf(params, cfg, amax, encode_stream)
+    return quantize_flexible(params, cfg, amax)  # encode stays bf16 (skips)
 
 
 @functools.lru_cache(maxsize=16)
@@ -378,17 +397,21 @@ def _get_calibrator(settings):
 
 def quantize_for_serving(params: dict, settings, ro: jax.Array,
                          rd: jax.Array, z_s: Optional[jax.Array],
-                         z_t: Optional[jax.Array]) -> dict:
+                         z_t: Optional[jax.Array],
+                         encode_stream: bool = False) -> dict:
     """Calibrate + quantize {"coarse", "fine"} params on a representative
     ray batch (e.g. the TTO rays of the object about to be rendered, or
     rays from the render pose).  Works for both model families (z_s/z_t
     are None for vanilla NeRF).  Deterministic sampling, mirroring the
     render pipeline so the fine model is calibrated on true
-    importance-sampled points.
+    importance-sampled points.  encode_stream also quantizes the
+    positional-encoding input of layer_xyz1 (CodeNeRF only; see
+    quantize_codenerf).
     """
     amax_c, amax_f = _get_calibrator(settings)(params, ro, rd, z_s, z_t)
     return {
         "coarse": _quantize_model(params["coarse"], settings.coarse_cfg,
-                                  amax_c),
-        "fine": _quantize_model(params["fine"], settings.fine_cfg, amax_f),
+                                  amax_c, encode_stream),
+        "fine": _quantize_model(params["fine"], settings.fine_cfg, amax_f,
+                                encode_stream),
     }

@@ -52,16 +52,28 @@ def _dot_lp_fwd(x, w, cd):
     return _dot_lp(x, w, cd), (x, w)
 
 
+def _dw_contract(x, g):
+    """dw = x^T @ g with ALL leading axes contracted, as one dot_general.
+
+    The obvious ``x.reshape(-1, K).T @ g.reshape(-1, N)`` forces a physical
+    relayout when XLA's preferred layout for the [R, S, h] operands is a
+    transposed tiling ({2,0,1} at the flagship shape — PERF.md session 6:
+    a 4.4 ms dw matmul whose pure-FLOPs cost is ~0.9 ms).  dot_general
+    contracts the leading dims natively, so the compiler picks the loop
+    nest for the layout the operands already have instead of copying them.
+    """
+    lead = tuple(range(x.ndim - 1))
+    return jax.lax.dot_general(x, g, ((lead, lead), ((), ())),
+                               preferred_element_type=jnp.float32)
+
+
 def _dot_lp_bwd(cd, res, g):
     x, w = res
     gc = g.astype(cd)
     # dx = g @ w^T  — [..., out] x [out, in]
     dx = jnp.dot(gc, w.astype(cd).T,
                  preferred_element_type=jnp.float32).astype(x.dtype)
-    # dw = x^T @ g with all leading axes contracted
-    xf = x.reshape(-1, x.shape[-1]).astype(cd)
-    gf = gc.reshape(-1, gc.shape[-1])
-    dw = jnp.dot(xf.T, gf, preferred_element_type=jnp.float32).astype(w.dtype)
+    dw = _dw_contract(x.astype(cd), gc).astype(w.dtype)
     return dx, dw
 
 
@@ -116,9 +128,7 @@ def _dot_add_relu_bwd(cd, res, g):
     gp = jnp.where(y > 0, g, 0).astype(ct)
     dx = jnp.dot(gp, w.astype(ct).T,
                  preferred_element_type=jnp.float32).astype(x.dtype)
-    xf = x.reshape(-1, x.shape[-1]).astype(ct)
-    gf = gp.reshape(-1, gp.shape[-1])
-    dw = jnp.dot(xf.T, gf, preferred_element_type=jnp.float32).astype(w.dtype)
+    dw = _dw_contract(x.astype(ct), gp).astype(w.dtype)
     # un-broadcast: sum the cotangent over axes b doesn't carry
     gb = gp.astype(jnp.float32)
     lead = gb.ndim - b.ndim

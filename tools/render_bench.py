@@ -83,7 +83,9 @@ def main():
     variants = [("XLA fwd-only", False, False)]
     assert not ("--int8" in sys.argv and "--pallas" in sys.argv), \
         "pick one variant per process"
-    if "--int8" in sys.argv:
+    if "--int8-encode" in sys.argv:
+        variants = [("int8+encode fwd-only", False, True)]
+    elif "--int8" in sys.argv:
         variants = [("int8 fwd-only", False, True)]
     elif "--pallas" in sys.argv:
         variants = [("Pallas fwd-only", True, False)]
@@ -95,7 +97,9 @@ def main():
             dataclasses.replace(base, use_pallas=use_pallas))
         if int8:
             from codenerf_tpu.models.quantized import quantize_for_serving
-            params = quantize_for_serving(params, settings, ro, rd, z, z)
+            params = quantize_for_serving(
+                params, settings, ro, rd, z, z,
+                encode_stream="--int8-encode" in sys.argv)
 
         @jax.jit
         def render(params, ro, rd, z, steps=20):
