@@ -129,7 +129,7 @@ def run_bench(num_rays: int = 8192, hidden: int = 256, code: int = 256,
     rates.sort()
     rays_per_sec = rates[len(rates) // 2]
     return {
-        "metric": "rays_per_sec_per_chip_fwd_bwd_64+64",
+        "metric": f"rays_per_sec_per_chip_fwd_bwd_{num_coarse}+{num_fine}",
         "value": round(rays_per_sec, 1),
         "unit": "rays/s",
         "vs_baseline": round(rays_per_sec / ESTIMATED_REFERENCE_RAYS_PER_SEC,
@@ -157,6 +157,10 @@ if __name__ == "__main__":
                          "(runtime.fc_out_tail_sigma; both measured within "
                          "noise at this shape — PERF.md session 6)")
     ap.add_argument("--rays", type=int, default=8192)
+    ap.add_argument("--coarse", type=int, default=64,
+                    help="coarse samples/ray (flagship configs use 32)")
+    ap.add_argument("--fine", type=int, default=64,
+                    help="fine samples/ray (flagship configs use 128)")
     ap.add_argument("--watchdog-minutes", type=float, default=25.0,
                     help="abort if no result within this long (wedged "
                          "TPU tunnel); 0 disables")
@@ -164,6 +168,7 @@ if __name__ == "__main__":
     if a.watchdog_minutes:
         _arm_watchdog(a.watchdog_minutes)
     print(json.dumps(run_bench(num_rays=a.rays,
+                               num_coarse=a.coarse, num_fine=a.fine,
                                use_pallas=a.pallas or a.pallas_bwd,
                                pallas_backward=a.pallas_bwd,
                                pallas_hybrid=a.pallas_hybrid,
