@@ -179,15 +179,16 @@ def build_car(rng):
     Hb = rng.uniform(0.055, 0.095)
     rb = rng.uniform(0.02, 0.045)
     cab_l = L * rng.uniform(0.35, 0.55)
-    cab_h = rng.uniform(0.05, 0.09)
+    cab_h = rng.uniform(0.07, 0.12)
     cab_x = rng.uniform(-0.09, 0.03)
     cab_w = Wb * rng.uniform(0.70, 0.88)
     blend = rng.uniform(0.02, 0.06)
-    wheel_R = rng.uniform(0.05, 0.075)
-    wheel_r = rng.uniform(0.018, 0.028)
+    # wheels sized to read as wheels at 128px (a 0.02-radius tube is ~2px)
+    wheel_R = rng.uniform(0.075, 0.105)
+    wheel_r = rng.uniform(0.030, 0.045)
     wx = L * rng.uniform(0.55, 0.72)
     body_z = 0.0
-    wheel_z = body_z - Hb - 0.1 * wheel_R
+    wheel_z = body_z - Hb - 0.35 * wheel_R
 
     c_body = rng.uniform(0.15, 0.95, size=3)
     c_alt = rng.uniform(0.15, 0.95, size=3)
@@ -442,8 +443,10 @@ def write_blender(root: Path, rng, H, W, views, val_views, style, category):
         (root / stage).mkdir(parents=True, exist_ok=True)
         frames = []
         for v in range(n):
-            theta = rng.uniform(1.0, 2.1)
-            phi = rng.uniform(-0.5, 0.5)
+            # nerf_synthetic-style upper-hemisphere orbit, full azimuth
+            # (theta is elevation here; see the SRN writer's note)
+            theta = rng.uniform(0.6, 1.5)
+            phi = rng.uniform(0.0, 2.0 * np.pi)
             pose = spherical_pose(theta, phi, 1.3)
             img, hit = render(H, W, 0.5 * W / np.tan(0.5 * camera_angle_x),
                               pose)
@@ -535,8 +538,17 @@ def main():
                 f"{focal} {W/2} {H/2} 0.\n0. 0. 0.\n1.\n{H} {W}\n")
             render = make_renderer(rng, args.style, category)
             for v in range(n_views):
-                theta = rng.uniform(1.0, 2.1)
-                phi = rng.uniform(-0.5, 0.5)
+                # theta is ELEVATION in this parametrization (the reference
+                # pose_spherical docstring swaps the names, eval.py:22-38:
+                # camera z = rho*sin(theta), so 1.57 is the pole).  Train
+                # views cover a broad elevation band with full azimuth so
+                # sides/wheels/legs are observed; val views sit nearer the
+                # reference's (1.57, 0) TTO init, as its evaluation assumes.
+                if stage == "train":
+                    theta = rng.uniform(0.45, 1.95)
+                else:
+                    theta = rng.uniform(0.95, 1.45)
+                phi = rng.uniform(0.0, 2.0 * np.pi)
                 rho = 1.3
                 pose_gl = spherical_pose(theta, phi, rho)
                 if stage == "val" and args.val_pose_jitter > 0:
