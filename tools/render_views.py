@@ -24,6 +24,11 @@ def main():
     ap.add_argument("--num-views", type=int, default=8)
     ap.add_argument("--theta-range", type=float, nargs=2, default=[1.0, 2.1])
     ap.add_argument("--phi", type=float, default=0.0)
+    ap.add_argument("--turntable", action="store_true",
+                    help="sweep AZIMUTH (phi) over 2*pi at fixed elevation "
+                         "theta = mean of --theta-range (theta is elevation "
+                         "in the reference pose_spherical, eval.py:22-38; "
+                         "the default theta sweep arcs over the pole)")
     ap.add_argument("--rho", type=float, default=1.30)
     ap.add_argument("--out", required=True)
     ap.add_argument("--int8", action="store_true",
@@ -69,15 +74,22 @@ def main():
 
     out_dir = Path(args.out)
     out_dir.mkdir(parents=True, exist_ok=True)
-    thetas = np.linspace(args.theta_range[0], args.theta_range[1],
-                         args.num_views)
+    if args.turntable:
+        theta_fix = 0.5 * (args.theta_range[0] + args.theta_range[1])
+        angles = [(theta_fix, p)
+                  for p in np.linspace(0.0, 2.0 * np.pi, args.num_views,
+                                       endpoint=False)]
+    else:
+        angles = [(t, args.phi)
+                  for t in np.linspace(args.theta_range[0],
+                                       args.theta_range[1], args.num_views)]
     if args.int8:
         from codenerf_tpu.harness import int8_render_params
-        pose0 = pose_spherical(float(thetas[0]), args.phi, args.rho)
+        pose0 = pose_spherical(angles[0][0], angles[0][1], args.rho)
         params = int8_render_params(harness, params, pose0, z_s, z_t)
         print("serving through the int8 quantized path")
-    for i, theta in enumerate(thetas):
-        pose = pose_spherical(float(theta), args.phi, args.rho)
+    for i, (theta, phi) in enumerate(angles):
+        pose = pose_spherical(float(theta), float(phi), args.rho)
         rgb = render(params, harness.directions, pose, z_s, z_t)
         img = np.clip(np.asarray(rgb).reshape(harness.height, harness.width,
                                               3), 0, 1)
