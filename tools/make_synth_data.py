@@ -549,7 +549,10 @@ def main():
                 else:
                     theta = rng.uniform(0.95, 1.45)
                 phi = rng.uniform(0.0, 2.0 * np.pi)
-                rho = 1.3
+                # camera radius matches each config's sampling window:
+                # cars near/far 0.8-1.8 centers 1.3; chairs 1.25-2.75
+                # centers 2.0 (the real SRN chairs rigs sit farther out)
+                rho = 2.0 if category == "chairs" else 1.3
                 pose_gl = spherical_pose(theta, phi, rho)
                 if stage == "val" and args.val_pose_jitter > 0:
                     jr = np.random.default_rng([args.seed, 9009, o, v])
