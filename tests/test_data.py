@@ -265,3 +265,22 @@ class TestSRNQuirks:
             nat = SRNDataset(str(root), "train").load_views([0])
             np.testing.assert_allclose(nat["color"], py["color"], atol=1e-6)
             np.testing.assert_allclose(nat["mask"], py["mask"], atol=1e-6)
+
+
+def test_synth_writer_category_radius(tmp_path):
+    """Generator cameras orbit at each config family's depth-window center
+    (cars near/far 0.8-1.8 -> rho 1.3; chairs 1.25-2.75 -> rho 2.0)."""
+    import subprocess, sys
+    from pathlib import Path
+    root = Path(__file__).resolve().parents[1]
+    for name, rho in [("cars", 1.3), ("chairs", 2.0)]:
+        out = tmp_path / f"synth_{name}"
+        subprocess.run(
+            [sys.executable, "tools/make_synth_data.py", "--out", str(out),
+             "--name", name, "--objects", "1", "--views", "2",
+             "--val-views", "1", "--size", "16"],
+            check=True, cwd=root, capture_output=True)
+        pose = np.loadtxt(out / f"{name}_train" / "obj000" / "pose"
+                          / "000000.txt").reshape(4, 4)
+        np.testing.assert_allclose(np.linalg.norm(pose[:3, 3]), rho,
+                                   atol=1e-6)
