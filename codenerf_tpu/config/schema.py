@@ -98,6 +98,14 @@ class OptimizerConfig:
     # from 0.  Restart 0 always uses the reference init.
     pose_restarts: int = 1
     pose_restart_steps: int = 50
+    # elevation of the probe inits for restarts >= 1.  theta = 1.57 is the
+    # POLE of the reference parametrization (camera z = rho*sin(theta),
+    # eval.py:22-38 — its docstring swaps the angle names), where every
+    # azimuth init collapses to nearly the same top-down camera and the
+    # probes only separate as theta descends.  Probing on a mid-elevation
+    # ring keeps the azimuth fan meaningful.  Restart 0 always stays at
+    # the exact reference init (1.57, 0, 1.30).
+    pose_restart_theta: float = 1.2
     # 6-DOF SE(3)-tangent pose refinement after spherical TTO
     # (beyond-reference): the spherical (theta, phi, rho) parametrization
     # (eval.py:22-38) cannot express off-sphere or rolled cameras; with

@@ -144,8 +144,9 @@ def validate(harness: Harness, params: dict, logger: MetricLogger,
             for r in range(restarts):
                 phi0 = 2.0 * math.pi * r / restarts
                 phi0 = (phi0 + math.pi) % (2.0 * math.pi) - math.pi
+                th0 = 1.57 if r == 0 else cfg.optimizer.pose_restart_theta
                 cand, _ = init_tto_state(params["codes"], cfg.optimizer,
-                                         pose_init=(1.57, phi0, 1.30))
+                                         pose_init=(th0, phi0, 1.30))
                 ckey = jax.random.fold_in(key, r)
                 for _ in range(probe_steps):
                     ckey, k = jax.random.split(ckey)
@@ -349,8 +350,9 @@ def validate_batched(harness: Harness, params: dict, logger: MetricLogger,
         for r in range(restarts):
             phi0 = 2.0 * math.pi * r / restarts
             phi0 = (phi0 + math.pi) % (2.0 * math.pi) - math.pi
+            th0 = 1.57 if r == 0 else cfg.optimizer.pose_restart_theta
             cand, _ = init_batched_tto_state(params["codes"], cfg.optimizer,
-                                             K, pose_init=(1.57, phi0, 1.30))
+                                             K, pose_init=(th0, phi0, 1.30))
             ckey = jax.random.fold_in(key, r)
             for _ in range(probe_steps):
                 ckey, k = jax.random.split(ckey)

@@ -168,6 +168,58 @@ def _dot_add_relu_pl_bwd(cd, res, g):
 _dot_add_relu_pl.defvjp(_dot_add_relu_pl_fwd, _dot_add_relu_pl_bwd)
 
 
+@partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _fc_out_tail(x, w, b_rows, cd):
+    """Fused fc_out with [feat | sigma] columns and a layout-clean backward.
+
+    Forward: one [.., h] @ [h, h+1] matmul + per-ray rows — identical to
+    the plain `_mm(x, w) + b_rows[:, None]` the fc_out_tail_sigma branch
+    used before.  The difference is the BACKWARD: autodiff of the fused
+    form threads a [R, S, h+1]-wide cotangent through dx/dw, and XLA
+    answers the odd width with {0,2,1}<->{2,0,1} relayout fusions around
+    the dw dot — profiled at ~12 ms/step at the flagship shape (session 7:
+    fusion.7/.15/.34 + convolution_convert_fusion.3 + the {0,1} dw).  Here
+    the cotangent is split at the lane-aligned h boundary and every
+    backward op is the standard 256-wide form the other trunk layers use:
+
+        dx = gf @ wf^T + gs * ws      (rank-1 sigma term fuses into the
+                                       dx matmul's epilogue)
+        dw = [x^T gf | x^T gs]        (two aligned dots, concat is tiny)
+        db_rows = [sum_S gf | sum_S gs]
+
+    No [.., h+1] tensor exists in the backward graph.
+    """
+    y = _mmc(x, w, cd)
+    return y + b_rows[:, None, :].astype(y.dtype)
+
+
+def _fc_out_tail_fwd(x, w, b_rows, cd):
+    return _fc_out_tail(x, w, b_rows, cd), (x, w, b_rows)
+
+
+def _fc_out_tail_bwd(cd, res, g):
+    x, w, b_rows = res
+    ct = cd if cd is not None else jnp.float32
+    gc = g.astype(ct)
+    gf, gs = gc[..., :-1], gc[..., -1:]
+    wc = w.astype(ct)
+    dx = (jnp.dot(gf, wc[:, :-1].T, preferred_element_type=jnp.float32)
+          + gs.astype(jnp.float32) * wc[:, -1].astype(jnp.float32)
+          ).astype(x.dtype)
+    xc = x.astype(ct)
+    dw = jnp.concatenate(
+        [_dw_contract(xc, gf), _dw_contract(xc, gs)],
+        axis=1).astype(w.dtype)
+    db = jnp.concatenate(
+        [jnp.sum(gf.astype(jnp.float32), axis=1),
+         jnp.sum(gs.astype(jnp.float32), axis=1)],
+        axis=-1).astype(b_rows.dtype)
+    return dx, dw, db
+
+
+_fc_out_tail.defvjp(_fc_out_tail_fwd, _fc_out_tail_bwd)
+
+
 def _lin(params, x, cd):
     """Linear layer preserving the compute dtype (bias cast to match)."""
     y = _mm(x, params["w"], cd)
@@ -287,10 +339,11 @@ def apply_codenerf_rays(params, cfg: CodeNeRFConfig, xyz_enc: jax.Array,
         feat = _mm(x, wo_top[:, 1:], cd) + zs2_part[:, None, 1:]
     elif cfg.fc_out_tail_sigma:
         # same fused matmul, columns permuted to [feat | sigma] so both
-        # slices are lane-aligned (see CodeNeRFConfig.fc_out_tail_sigma)
+        # slices are lane-aligned (see CodeNeRFConfig.fc_out_tail_sigma);
+        # custom VJP keeps the backward free of [.., h+1]-wide tensors
         wo_r = jnp.concatenate([wo_top[:, 1:], wo_top[:, :1]], axis=1)
         zs2_r = jnp.concatenate([zs2_part[:, 1:], zs2_part[:, :1]], axis=1)
-        out = _mm(x, wo_r, cd) + zs2_r[:, None, :]
+        out = _fc_out_tail(x, wo_r, zs2_r, cd)
         feat, sigma = out[..., :-1], out[..., -1:]
     else:
         feat = _mm(x, wo_top, cd) + zs2_part[:, None, :]
