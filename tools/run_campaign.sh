@@ -1,0 +1,83 @@
+#!/bin/sh
+# Cold-machine quality campaign: dataset -> train -> category eval.
+#
+# Every session of this build starts from a full machine reset (only the
+# git repo survives — see CLAUDE.md), so the whole quality story must be
+# reproducible from one command.  This runbook regenerates the seeded v2
+# procedural dataset, trains the flagship CodeNeRF from scratch, and runs
+# the category-evaluation protocol (batched multi-start TTO over every
+# held-out object) exactly as recorded in RESULTS.md.
+#
+# Usage:
+#   sh tools/run_campaign.sh [cars|chairs] [STEPS] [PLATFORM]
+# Defaults: cars, 10000 steps, the real TPU.  PLATFORM=cpu gives a
+# scaled-down smoke of the identical pipeline (64px, 60 steps) in ~2 min.
+#
+# Mirrors the reference workflow (reference README.md:25-40: download SRN
+# data, train.py, eval.py) with the data-acquisition step replaced by the
+# seeded generator — this environment has no egress.
+set -e
+cd "$(dirname "$0")/.."
+
+CATEGORY=${1:-cars}
+STEPS=${2:-10000}
+PLATFORM=${3:-}
+
+case "$CATEGORY" in
+  cars)   SEED=7;  CFG=configs/srn-cars-code.yml ;;
+  chairs) SEED=11; CFG=configs/srn-chairs-code.yml ;;
+  *) echo "unknown category: $CATEGORY" >&2; exit 2 ;;
+esac
+
+DATA=/root/data/synthv2_$CATEGORY
+LOGS=/root/logs
+ID=flagship-v2-$CATEGORY
+SIZE=128
+PLATFLAG=""
+if [ "$PLATFORM" = "cpu" ]; then
+  PLATFLAG="--platform cpu"
+  SIZE=64
+  STEPS=60
+  # keep the category as the LAST underscore token: SRNDataset derives the
+  # on-disk name from it (data/srn.py, reference dataset.py convention)
+  DATA=/tmp/smoke_synthv2_$CATEGORY
+  LOGS=/tmp/campaign_logs
+fi
+
+if [ ! -d "$DATA" ]; then
+  python tools/make_synth_data.py --out "$DATA" --name "$CATEGORY" \
+    --style proc --objects 8 --views 50 --val-views 10 --size $SIZE \
+    --seed $SEED
+fi
+
+# validate_every is pushed out: validation-by-TTO happens once, properly,
+# through the eval CLI below (saves one cold jit compile mid-training).
+SMOKE_OVR=""
+if [ "$PLATFORM" = "cpu" ]; then
+  # 64px images crop to 48px = 2304 pixels; keep the ray batch inside it.
+  # val_iterations=50 keeps the CPU TTO stage to ~2 min.
+  SMOKE_OVR="nerf.ray_sampler.num_random_rays=512 nerf.point_sampler.num_coarse=16 nerf.point_sampler.num_fine=16 experiment.val_iterations=50"
+fi
+python train.py -c "$CFG" --max-steps "$STEPS" $PLATFLAG $SMOKE_OVR \
+  dataset.basedir="$DATA" \
+  experiment.logdir="$LOGS" \
+  experiment.id="$ID" \
+  experiment.save_every=2000 \
+  experiment.validate_every=1000000 \
+  optimizer.lr=5e-4 optimizer.embedding_lr=5e-3
+
+# Category evaluation: all 8 held-out objects in one batched multi-start
+# TTO group (reference recipe: 300 TTO steps; 8-way pose probing is the
+# beyond-reference multi-start that rescues bad azimuth inits).
+RESTARTS=8
+ROUNDS=""
+if [ "$PLATFORM" = "cpu" ]; then RESTARTS=2; ROUNDS="--rounds 1"; fi
+# dotted overrides are positional: keep them contiguous AFTER the flags
+# (argparse nargs="*" cannot interleave them between optionals)
+python eval.py -c "$CFG" $PLATFLAG $ROUNDS \
+  --load-checkpoint "$LOGS/$ID/checkpoints" \
+  --all-objects --batch-objects 8 \
+  $SMOKE_OVR \
+  dataset.basedir="$DATA" \
+  experiment.logdir="$LOGS" \
+  optimizer.pose_restarts=$RESTARTS
