@@ -106,6 +106,17 @@ class OptimizerConfig:
     # ring keeps the azimuth fan meaningful.  Restart 0 always stays at
     # the exact reference init (1.57, 0, 1.30).
     pose_restart_theta: float = 1.2
+    # Post-convergence azimuth-flip rescue (beyond-reference): near
+    # fore-aft-symmetric objects (cars) make the 180-degree-flipped pose
+    # basin indistinguishable from the true one at probe time — early TTO
+    # losses tie and multi-start selection cannot break the tie (observed:
+    # pose error ~= pi on 2/8 held-out v2 cars, RESULTS.md session 10).
+    # With pose_flip_steps > 0, AFTER the full TTO converges a flipped
+    # candidate (phi + pi, optimized codes carried over, fresh optimizer
+    # moments) is optimized for this many steps and the per-object winner
+    # is selected by comparing both basins' losses on an IDENTICAL ray
+    # draw — converged losses separate where probe losses tie.  0 = off.
+    pose_flip_steps: int = 0
     # 6-DOF SE(3)-tangent pose refinement after spherical TTO
     # (beyond-reference): the spherical (theta, phi, rho) parametrization
     # (eval.py:22-38) cannot express off-sphere or rolled cameras; with

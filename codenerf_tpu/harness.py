@@ -24,7 +24,7 @@ from codenerf_tpu.core.geometry import pixel_directions, pose_spherical
 from codenerf_tpu.core.metrics import mse2psnr, ssim
 from codenerf_tpu.data import build_dataset, BatchIterator
 from codenerf_tpu.eval.render import make_image_renderer
-from codenerf_tpu.eval.tto import (init_tto_state, make_tto_step,
+from codenerf_tpu.eval.tto import (TTOState, init_tto_state, make_tto_step,
                                    init_batched_tto_state,
                                    make_batched_tto_step, select_per_object)
 from codenerf_tpu.parallel import make_mesh
@@ -388,6 +388,49 @@ def validate_batched(harness: Harness, params: dict, logger: MetricLogger,
                 "psnr": jnp.mean(m.psnr)}, time_taken=time.time() - then)
             print(f"{line}(mean over {K} objects)")
             then = time.time()
+    # azimuth-flip rescue stage (opt-in, optimizer.pose_flip_steps > 0):
+    # near fore-aft-symmetric objects leave the 180-degree-flipped pose
+    # basin tied with the true one at probe time, so multi-start selection
+    # can converge into the flip (pose error ~= pi).  Retry from phi + pi
+    # with the optimized codes carried over, then keep the per-object
+    # winner judged on an IDENTICAL ray draw (config/schema.py rationale).
+    flip_steps = cfg.optimizer.pose_flip_steps
+    if flip_steps > 0:
+        v = tto.variables
+        flip_vars = {
+            # copies, not aliases: tto_step donates its input state, and a
+            # buffer shared with `tto` would be invalidated by the flip
+            # candidate's first step (cf. init_se3_refine_state)
+            "z_s": jnp.array(v["z_s"]),
+            "z_t": jnp.array(v["z_t"]),
+            "theta": jnp.array(v["theta"]),
+            "phi": (v["phi"] + 2.0 * math.pi) % (2.0 * math.pi) - math.pi,
+            "rho": jnp.array(v["rho"]),
+        }
+        flip = TTOState(flip_vars, tto_opt.init(flip_vars),
+                        jnp.zeros((), jnp.int32))
+        fkey = jax.random.fold_in(key, 0xF11)
+        for _ in range(flip_steps):
+            fkey, k = jax.random.split(fkey)
+            flip, _ = tto_step(flip, params, harness.directions, targets,
+                               poses_gt, k)
+        # judge both basins on the same ray draw: converged losses separate
+        # where probe losses tie
+        key, kcmp = jax.random.split(key)
+        tto, m_base = tto_step(tto, params, harness.directions, targets,
+                               poses_gt, kcmp)
+        flip, m_flip = tto_step(flip, params, harness.directions, targets,
+                                poses_gt, kcmp)
+        mask = jnp.asarray(jax.device_get(m_flip.loss)
+                           < jax.device_get(m_base.loss))
+        tto = select_per_object(mask, flip, tto)
+        m = select_per_object(mask, m_flip, m_base)
+        if is_main_process():
+            print(f"[VALOPT] azimuth-flip rescue ({flip_steps} steps): "
+                  f"flip wins on {int(np.asarray(mask).sum())}/{K} objects, "
+                  f"per-object losses "
+                  f"{np.array2string(np.asarray(m.loss), precision=4)}")
+
     # SE(3)-tangent pose refinement stage (opt-in,
     # optimizer.se3_refine_steps > 0): the spherical parametrization spans
     # only 3 of 6 camera DOF; refine codes + a full 6-DOF correction

@@ -186,10 +186,12 @@ def test_eval_cli_batched_tto(synth_root, tmp_path):
          f"dataset.basedir={synth_root}",
          f"experiment.logdir={tmp_path}/logs", "experiment.id=bt",
          "experiment.val_iterations=3", "optimizer.pose_restarts=2",
-         "optimizer.pose_restart_steps=2"] + shrink,
+         "optimizer.pose_restart_steps=2",
+         "optimizer.pose_flip_steps=2"] + shrink,
         cwd=ROOT, capture_output=True, text=True, timeout=300)
     assert res.returncode == 0, res.stderr[-2000:]
     assert "batched pose multi-start" in res.stdout
+    assert "azimuth-flip rescue (2 steps)" in res.stdout
     assert "batched TTO: 3 objects" in res.stdout
     assert "PSNR mean" in res.stdout
     # category protocol: every distinct val object, groups of 3 (2 objects

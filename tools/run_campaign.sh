@@ -69,15 +69,19 @@ python train.py -c "$CFG" --max-steps "$STEPS" $PLATFLAG $SMOKE_OVR \
 # Category evaluation: all 8 held-out objects in one batched multi-start
 # TTO group (reference recipe: 300 TTO steps; 8-way pose probing is the
 # beyond-reference multi-start that rescues bad azimuth inits).
+# K=4 groups: K=8 with 8 restarts at 128px exceeds v5e HBM at compile
+# (16.41G > 15.75G — RESULTS.md session 10)
 RESTARTS=8
+K=4
 ROUNDS=""
-if [ "$PLATFORM" = "cpu" ]; then RESTARTS=2; ROUNDS="--rounds 1"; fi
+if [ "$PLATFORM" = "cpu" ]; then RESTARTS=2; K=8; ROUNDS="--rounds 1"; fi
 # dotted overrides are positional: keep them contiguous AFTER the flags
 # (argparse nargs="*" cannot interleave them between optionals)
 python eval.py -c "$CFG" $PLATFLAG $ROUNDS \
   --load-checkpoint "$LOGS/$ID/checkpoints" \
-  --all-objects --batch-objects 8 \
+  --all-objects --batch-objects $K \
   $SMOKE_OVR \
   dataset.basedir="$DATA" \
   experiment.logdir="$LOGS" \
-  optimizer.pose_restarts=$RESTARTS
+  optimizer.pose_restarts=$RESTARTS \
+  optimizer.pose_flip_steps=100
