@@ -540,17 +540,37 @@ def validate_category(harness: Harness, params: dict, logger: MetricLogger,
     harness only approximates one hand-picked view at a time.
     """
     assert harness.has_codes, "category evaluation requires a CodeNeRF model"
+    from codenerf_tpu.eval.capacity import is_oom_error, max_batch_objects
+    cfg = harness.cfg
     K = max(1, batch_objects)
+    fit = max_batch_objects(harness.settings,
+                            cfg.nerf.ray_sampler.num_random_rays, K)
+    if fit < K and is_main_process():
+        print(f"[VAL   ] batch-objects {K} exceeds the device HBM budget "
+              f"at these shapes; auto-splitting into groups of {fit} "
+              f"(eval/capacity.py)")
+    K = fit
     objects = _distinct_val_objects(harness)
     rows = []
-    for g0 in range(0, len(objects), K):
+    g0 = 0
+    while g0 < len(objects):
         group = objects[g0:g0 + K]
         real = len(group)
         padded = group + [group[0]] * (K - real)
-        out = validate_batched(harness, params, logger, K,
-                               val_iterations=val_iterations,
-                               samples=padded, iteration=g0 // K)
+        try:
+            out = validate_batched(harness, params, logger, K,
+                                   val_iterations=val_iterations,
+                                   samples=padded, iteration=g0 // max(K, 1))
+        except Exception as err:  # runtime backstop: halve K, redo group
+            if K <= 1 or not is_oom_error(err):
+                raise
+            K = max(1, K // 2)
+            if is_main_process():
+                print(f"[VAL   ] batched TTO step ran out of device memory; "
+                      f"retrying the remaining objects in groups of {K}")
+            continue
         rows.extend(out["per_object"][:real])
+        g0 += real
     summary = {
         "num_objects": len(rows),
         "psnr_mean": float(np.mean([r["psnr"] for r in rows])),

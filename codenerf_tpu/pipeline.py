@@ -96,6 +96,16 @@ class RenderSettings:
     coarse_cfg: Any
     fine_cfg: Any
     white_background: bool = False
+    # train-stage sigma-noise regularizer std (nerf.train.
+    # radiance_field_noise_std).  The reference declares this in every
+    # config (e.g. srn-cars.yml:59 = 0.05) but its application line is
+    # commented out (volumetric_render.py:47); we implement the declared
+    # intent because it is the standard fix for the near-plane density
+    # collapse that white-background-heavy categories (chairs, 96% white
+    # pixels) otherwise fall into (RESULTS.md round 3).  Applied only on
+    # the training step (render_rays(..., noise_std=...)); the validation
+    # stage value stays unconsumed, matching reference behavior.
+    noise_std: float = 0.0
     remat: bool = False
     use_pallas: bool = False
     pallas_backward: bool = False
@@ -135,6 +145,7 @@ class RenderSettings:
             coarse_cfg=mk(cfg.models.nerf_coarse),
             fine_cfg=mk(cfg.models.nerf_fine),
             white_background=cfg.nerf.white_background,
+            noise_std=cfg.nerf.train.radiance_field_noise_std,
             remat=cfg.runtime.remat,
             use_pallas=cfg.runtime.use_pallas,
             pallas_backward=cfg.runtime.pallas_backward,
@@ -241,7 +252,8 @@ def _forward(params, model_cfg, settings, pts, rd, z_s, z_t):
 def render_rays(params: dict, settings: RenderSettings, ro: jax.Array,
                 rd: jax.Array, z_s: Optional[jax.Array],
                 z_t: Optional[jax.Array], key: Optional[jax.Array],
-                perturb: bool) -> Tuple[RenderOutputs, RenderOutputs]:
+                perturb: bool, noise_std: float = 0.0
+                ) -> Tuple[RenderOutputs, RenderOutputs]:
     """Full coarse -> importance -> fine render for a ray batch.
 
     Reference call stack: predict_radiance_and_render
@@ -253,11 +265,19 @@ def render_rays(params: dict, settings: RenderSettings, ro: jax.Array,
       z_s, z_t: [R, C] per-ray latent codes, or None for vanilla NeRF.
       key: PRNG key (required when perturb).
       perturb: stratified jitter + random CDF inversion.
+      noise_std: if > 0 (and perturb), add N(0, noise_std) to the raw sigma
+        channel before activation — the reference's declared-but-dead
+        ``radiance_field_noise_std`` regularizer (volumetric_render.py:47,
+        srn configs set 0.05).  Train-step only; see RenderSettings.
 
     Returns: (coarse, fine) RenderOutputs.
     """
+    noisy = noise_std > 0.0 and perturb
     if perturb:
-        k1, k2 = jax.random.split(key)
+        if noisy:
+            k1, k2, kn_c, kn_f = jax.random.split(key, 4)
+        else:
+            k1, k2 = jax.random.split(key)
     else:
         k1 = k2 = None
 
@@ -289,8 +309,17 @@ def render_rays(params: dict, settings: RenderSettings, ro: jax.Array,
 
     z_grid = base_z_vals(settings.num_coarse, settings.near, settings.far,
                          settings.spacing_mode, dtype=ro.dtype)
+    def add_sigma_noise(raw, k):
+        # keep the bias add in raw.dtype: jnp promotion would silently
+        # upcast a bf16 activation chain (CLAUDE.md Mosaic note)
+        n = noise_std * jax.random.normal(k, raw.shape[:-1], raw.dtype)
+        return jnp.concatenate([raw[..., :3], raw[..., 3:] + n[..., None]],
+                               axis=-1)
+
     pts_c, z_c = sample_stratified(k1, ro, rd, z_grid, perturb)
     raw_c = fwd_c(params["coarse"], pts_c, rd_view, z_s, z_t)
+    if noisy:
+        raw_c = add_sigma_noise(raw_c, kn_c)
     out_c = volume_render(raw_c, z_c, rd,
                           white_background=settings.white_background)
 
@@ -298,6 +327,8 @@ def render_rays(params: dict, settings: RenderSettings, ro: jax.Array,
     pts_f, z_f = sample_pdf(k2, ro, rd, out_c.weights[..., 1:-1], z_c,
                             settings.num_fine, perturb)
     raw_f = fwd_f(params["fine"], pts_f, rd_view, z_s, z_t)
+    if noisy:
+        raw_f = add_sigma_noise(raw_f, kn_f)
     out_f = volume_render(raw_f, z_f, rd,
                           white_background=settings.white_background)
     return out_c, out_f

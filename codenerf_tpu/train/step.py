@@ -100,7 +100,8 @@ def make_train_step(settings: RenderSettings, optimizer, num_random_rays: int,
             z_s = z_t = None
         out_c, out_f = render_rays(
             {"coarse": params["coarse"], "fine": params["fine"]},
-            settings, ro, rd, z_s, z_t, k_render, perturb)
+            settings, ro, rd, z_s, z_t, k_render, perturb,
+            noise_std=settings.noise_std)
         return (jnp.sum((out_c.rgb - target[..., :3]) ** 2),
                 jnp.sum((out_f.rgb - target[..., :3]) ** 2))
 

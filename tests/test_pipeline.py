@@ -58,6 +58,47 @@ class TestRenderRays:
         np.testing.assert_array_equal(np.asarray(out_f.rgb),
                                       np.asarray(out_f2.rgb))
 
+    def test_sigma_noise_regularizer(self):
+        """radiance_field_noise_std semantics: noise perturbs the sigma
+        channel only during perturbed (train) renders, and noise_std=0 is
+        bit-identical to the pre-noise pipeline (reference
+        volumetric_render.py:47 intent; srn-cars.yml:59 sets 0.05)."""
+        s = _settings()
+        key = jax.random.PRNGKey(0)
+        kc, kf, kr = jax.random.split(key, 3)
+        params = {"coarse": init_model(kc, s.coarse_cfg),
+                  "fine": init_model(kf, s.fine_cfg)}
+        R, C = 24, 16
+        rng = np.random.default_rng(1)
+        ro = jnp.asarray(rng.normal(size=(R, 3)), dtype=jnp.float32)
+        rd = jnp.asarray(rng.normal(size=(R, 3)), dtype=jnp.float32)
+        z_s = jnp.asarray(rng.normal(size=(R, C)), dtype=jnp.float32)
+        z_t = jnp.asarray(rng.normal(size=(R, C)), dtype=jnp.float32)
+
+        base = render_rays(params, s, ro, rd, z_s, z_t, kr, True)
+        zero = render_rays(params, s, ro, rd, z_s, z_t, kr, True,
+                           noise_std=0.0)
+        np.testing.assert_array_equal(np.asarray(base[1].rgb),
+                                      np.asarray(zero[1].rgb))
+
+        noisy = render_rays(params, s, ro, rd, z_s, z_t, kr, True,
+                            noise_std=0.5)
+        # noise moves the compositing weights (sigma path) ...
+        assert not np.allclose(np.asarray(base[1].weights),
+                               np.asarray(noisy[1].weights))
+        # ... and is deterministic under the same key
+        noisy2 = render_rays(params, s, ro, rd, z_s, z_t, kr, True,
+                             noise_std=0.5)
+        np.testing.assert_array_equal(np.asarray(noisy[1].rgb),
+                                      np.asarray(noisy2[1].rgb))
+
+        # eval-style renders (perturb=False) never see noise
+        a = render_rays(params, s, ro, rd, z_s, z_t, None, False,
+                        noise_std=0.5)
+        b = render_rays(params, s, ro, rd, z_s, z_t, None, False)
+        np.testing.assert_array_equal(np.asarray(a[1].rgb),
+                                      np.asarray(b[1].rgb))
+
     def test_full_parity_vs_reference_stack(self):
         """Whole pipeline (no perturb) vs reference predict_radiance_and_render
         with identical weights and rays — the BASELINE.json parity bar."""
