@@ -272,6 +272,30 @@ class Config:
     nerf: NerfConfig = field(default_factory=NerfConfig)
     runtime: RuntimeConfig = field(default_factory=RuntimeConfig)
 
+    # -- CfgNode immutability API (cfg_node.py:238-268) ---------------------
+    # The reference mutates a shared CfgNode and relies on freeze()/defrost()
+    # to police it at runtime.  Here every config is a frozen dataclass, so
+    # immutability is structural, not a runtime flag: freeze() is the
+    # identity, is_frozen() is always True, and "defrosting" returns a plain
+    # nested dict to edit and re-validate through config_from_dict — the
+    # functional equivalent of the reference's defrost -> mutate -> freeze
+    # cycle, with the type/coercion checks re-applied at re-entry.
+    def freeze(self) -> "Config":
+        return self
+
+    def is_frozen(self) -> bool:
+        return True
+
+    def clone(self) -> "Config":
+        """Deep copy (cfg_node.py:266-268).  Frozen dataclasses are safe to
+        share, but clone() keeps drop-in compatibility for reference users."""
+        import copy
+        return copy.deepcopy(self)
+
+    def defrost(self) -> dict:
+        """Mutable nested-dict view; re-freeze with ``config_from_dict``."""
+        return asdict(self)
+
 
 # ---------------------------------------------------------------------------
 # dict -> dataclass with legacy-schema normalization
@@ -405,8 +429,62 @@ def config_from_dict(raw: dict) -> Config:
     )
 
 
+# -- deprecated / renamed key registries (cfg_node.py:270-319) --------------
+# The reference's CfgNode lets experiments register keys that no longer
+# exist: deprecated keys are warned-and-ignored at merge time, renamed keys
+# raise with the new spelling.  YAML files from earlier schema generations
+# are auto-migrated by _normalize above; these registries give the same
+# guard rails to DOTTED OVERRIDES, where no normalization runs.  Seeded
+# with the spellings the historical reference schemas actually used.
+DEPRECATED_KEYS: set = {
+    # fern.yml declares it; no working counterpart in the reference model
+    # (model.py falls back to its default skip schedule) — see _model_spec.
+    "models.nerf_coarse.skip_connect_every",
+    "models.nerf_fine.skip_connect_every",
+}
+RENAMED_KEYS: dict = {
+    "experiment.train_iters": "experiment.iterations",
+    "models.coarse": "models.nerf_coarse",
+    "models.fine": "models.nerf_fine",
+    "nerf.train.num_random_rays": "nerf.ray_sampler.num_random_rays",
+    "scheduler.lr_decay": "optimizer.scheduler_step_size",
+    "scheduler.lr_decay_factor": "optimizer.scheduler_gamma",
+}
+
+
+def register_deprecated_key(key: str) -> None:
+    """cfg_node.py:270-279: overrides of this key warn and are ignored."""
+    if key in DEPRECATED_KEYS:
+        raise ValueError(f"key {key} is already registered as deprecated")
+    DEPRECATED_KEYS.add(key)
+
+
+def register_renamed_key(old: str, new: str) -> None:
+    """cfg_node.py:282-296: overrides of ``old`` raise, pointing at ``new``."""
+    if old in RENAMED_KEYS:
+        raise ValueError(f"key {old} is already registered as renamed")
+    RENAMED_KEYS[old] = new
+
+
+def key_is_deprecated(full_key: str) -> bool:
+    return full_key in DEPRECATED_KEYS
+
+
+def key_is_renamed(full_key: str) -> bool:
+    return full_key in RENAMED_KEYS
+
+
 def _apply_override(cfg: Config, dotted: str, value) -> Config:
-    """Apply one `a.b.c=value` override immutably (cfg_node.py:208-236)."""
+    """Apply one `a.b.c=value` override immutably (cfg_node.py:208-236),
+    honoring the deprecated/renamed registries like the reference's
+    merge_from_list."""
+    if key_is_deprecated(dotted):
+        import warnings
+        warnings.warn(f"deprecated config key (ignoring): {dotted}")
+        return cfg
+    if key_is_renamed(dotted):
+        raise KeyError(f"key {dotted} was renamed to {RENAMED_KEYS[dotted]}; "
+                       f"please update your override")
     path = dotted.split(".")
     def rec(node, keys):
         if not dataclasses.is_dataclass(node):

@@ -23,6 +23,17 @@ import jax.numpy as jnp
 _EPS = 1e-8
 # Below this angle (radians) Taylor series replace the closed forms.
 _SMALL = 1e-4
+# Branch threshold for the sinc-family coefficients (A, B, C, D), in
+# theta^2.  These divide quantities like (1 - cos theta) by theta^2, which
+# cancels catastrophically in float32 once 1 - cos(theta) approaches the
+# ulp at 1 (~1.2e-7): at theta = 1e-3 the generic branch's B carries ~10%
+# noise and D = (1 - A/(2B))/theta^2 explodes by ~5 orders of magnitude
+# (caught by the inv_vecs_Xg_ig parity test vs the torch reference, which
+# branches at a much larger angle — lieutils.py:20-27).  theta < 0.05 uses
+# the Taylor heads, whose truncation error (~theta^6/40320) is below f32
+# resolution there; the generic branch at theta >= 0.05 has relative error
+# <= 2 eps / theta^2 ~ 1e-4.
+_SINC_SMALL_SQ = 2.5e-3
 
 
 def hat(w: jax.Array) -> jax.Array:
@@ -51,7 +62,7 @@ def _sinc_coeffs(theta_sq: jax.Array):
     theta^2 keeps gradients finite at 0 (the `where` operands are sanitized
     before the transcendental is applied — the "double where" trick).
     """
-    small = theta_sq < _SMALL**2
+    small = theta_sq < _SINC_SMALL_SQ
     safe_sq = jnp.where(small, jnp.ones_like(theta_sq), theta_sq)
     theta = jnp.sqrt(safe_sq)
     A = jnp.where(small, 1.0 - theta_sq / 6.0 + theta_sq**2 / 120.0,
@@ -137,7 +148,7 @@ def _V_inv_matrix(w: jax.Array) -> jax.Array:
     D = (1 - A/(2B)) / theta^2 (Taylor 1/12 at 0)."""
     theta_sq = jnp.sum(w * w, axis=-1)
     A, B, _ = _sinc_coeffs(theta_sq)
-    small = theta_sq < _SMALL**2
+    small = theta_sq < _SINC_SMALL_SQ
     safe_sq = jnp.where(small, jnp.ones_like(theta_sq), theta_sq)
     D = jnp.where(small, 1.0 / 12.0 + theta_sq / 720.0,
                   (1.0 - A / (2.0 * B)) / safe_sq)
@@ -145,6 +156,16 @@ def _V_inv_matrix(w: jax.Array) -> jax.Array:
     W2 = W @ W
     eye = jnp.broadcast_to(jnp.eye(3, dtype=w.dtype), W.shape)
     return eye - 0.5 * W + D[..., None, None] * W2
+
+
+def inv_vecs_Xg_ig(w: jax.Array) -> jax.Array:
+    """Inverse left SO(3) Jacobian H = inv(vecs_Xg_ig(w)) — public alias of
+    ``_V_inv_matrix`` under the reference's name (lieutils.py:569-582).
+    The reference computes eta = (1 - (t/2)/tan(t/2))/t^2 and forms
+    I - W/2 + eta W^2; our D coefficient is the same function of theta
+    expressed through the shared A/B sinc pair (identical Taylor head
+    1/12 + t^2/720).  Used by SE3.Log (lieutils.py:715) = ``se3_log``."""
+    return _V_inv_matrix(w)
 
 
 def se3_exp(xi: jax.Array) -> jax.Array:

@@ -176,6 +176,42 @@ def validate(harness: Harness, params: dict, logger: MetricLogger,
                     "psnr": m.psnr}, time_taken=time.time() - then)
                 print(line)
                 then = time.time()
+        # azimuth-flip rescue (optimizer.pose_flip_steps > 0): same design
+        # as the batched path below — retry from phi + pi with the
+        # converged codes carried over, judge both basins on one ray draw
+        flip_steps = cfg.optimizer.pose_flip_steps
+        if flip_steps > 0:
+            v = tto.variables
+            flip_vars = {
+                "z_s": jnp.array(v["z_s"]),
+                "z_t": jnp.array(v["z_t"]),
+                "theta": jnp.array(v["theta"]),
+                "phi": (v["phi"] + 2.0 * math.pi) % (2.0 * math.pi) - math.pi,
+                "rho": jnp.array(v["rho"]),
+            }
+            from codenerf_tpu.eval.tto import TTOState
+            flip = TTOState(flip_vars, tto_opt.init(flip_vars),
+                            jnp.zeros((), jnp.int32))
+            fkey = jax.random.fold_in(key, 0xF11)
+            for _ in range(flip_steps):
+                fkey, k = jax.random.split(fkey)
+                flip, _ = tto_step(flip, params, harness.directions, target,
+                                   pose_gt, k)
+            key, kcmp = jax.random.split(key)
+            tto, m_base = tto_step(tto, params, harness.directions, target,
+                                   pose_gt, kcmp)
+            flip, m_flip = tto_step(flip, params, harness.directions, target,
+                                    pose_gt, kcmp)
+            flip_wins = float(jax.device_get(m_flip.loss)) < float(
+                jax.device_get(m_base.loss))
+            if flip_wins:
+                tto = flip
+            if is_main_process():
+                print(f"[VALOPT] azimuth-flip rescue ({flip_steps} steps): "
+                      f"{'flip' if flip_wins else 'base'} basin wins "
+                      f"(losses {float(m_base.loss):.5f} base / "
+                      f"{float(m_flip.loss):.5f} flip)")
+
         cam_pose = pose_spherical(tto.variables["theta"],
                                   tto.variables["phi"], tto.variables["rho"])
         z_s, z_t = tto.variables["z_s"], tto.variables["z_t"]

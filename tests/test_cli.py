@@ -150,10 +150,13 @@ def test_eval_cli_tto_round_trip(synth_root, tmp_path):
          "--platform", "cpu", "--load-checkpoint", str(ckpt), "--rounds", "1",
          f"dataset.basedir={synth_root}",
          f"experiment.logdir={tmp_path}/logs", "experiment.id=rt",
-         "experiment.val_iterations=3"] + shrink,
+         "experiment.val_iterations=3",
+         "optimizer.pose_flip_steps=2"] + shrink,
         cwd=ROOT, capture_output=True, text=True, timeout=300)
     assert res.returncode == 0, res.stderr[-2000:]
     assert "[VALOPT]" in res.stdout
+    # the azimuth-flip rescue also runs on the unbatched eval path
+    assert "azimuth-flip rescue (2 steps)" in res.stdout
     assert "[VAL   ]" in res.stdout
 
 

@@ -112,3 +112,59 @@ class TestReferenceConfigs:
         cfg2 = load_config(out)
         assert cfg2.models.nerf_coarse.hidden_size == 256
         assert cfg2.nerf.point_sampler.spacing_mode == "lindepth"
+
+
+class TestCfgNodeCompat:
+    """The reference CfgNode API surface (cfg_node.py:238-319) mapped onto
+    frozen dataclasses: structural immutability + defrost-as-dict, and the
+    deprecated/renamed key registries guarding dotted overrides."""
+
+    def test_freeze_is_structural(self):
+        import dataclasses
+        cfg = load_config(REF_CONFIGS / "srn-cars-code.yml")
+        assert cfg.is_frozen()
+        assert cfg.freeze() is cfg
+        with pytest.raises(dataclasses.FrozenInstanceError):
+            cfg.experiment = None
+
+    def test_clone_is_deep_and_equal(self):
+        cfg = load_config(REF_CONFIGS / "srn-cars-code.yml")
+        c = cfg.clone()
+        assert c == cfg and c is not cfg
+
+    def test_defrost_edit_refreeze(self):
+        from codenerf_tpu.config import config_from_dict
+        cfg = load_config(REF_CONFIGS / "srn-cars-code.yml")
+        d = cfg.defrost()
+        d["models"]["nerf_coarse"]["hidden_size"] = 64
+        cfg2 = config_from_dict(d)
+        assert cfg2.models.nerf_coarse.hidden_size == 64
+        assert cfg2.models.nerf_fine.hidden_size == 256  # untouched
+        assert cfg2.is_frozen()
+
+    def test_deprecated_key_warned_and_ignored(self):
+        cfg = load_config(
+            REF_CONFIGS / "srn-cars-code.yml",
+            overrides=["models.nerf_coarse.skip_connect_every=3"])
+        # ignored, not applied, not fatal
+        assert cfg.models.nerf_coarse.hidden_size == 256
+
+    def test_renamed_key_raises_with_new_name(self):
+        with pytest.raises(KeyError, match="experiment.iterations"):
+            load_config(REF_CONFIGS / "srn-cars-code.yml",
+                        overrides=["experiment.train_iters=5"])
+
+    def test_register_new_keys(self):
+        from codenerf_tpu.config.schema import (
+            DEPRECATED_KEYS, RENAMED_KEYS, register_deprecated_key,
+            register_renamed_key)
+        register_deprecated_key("experiment.test_dep_key")
+        register_renamed_key("experiment.test_old", "experiment.test_new")
+        try:
+            assert "experiment.test_dep_key" in DEPRECATED_KEYS
+            assert RENAMED_KEYS["experiment.test_old"] == "experiment.test_new"
+            with pytest.raises(ValueError):
+                register_deprecated_key("experiment.test_dep_key")
+        finally:
+            DEPRECATED_KEYS.discard("experiment.test_dep_key")
+            RENAMED_KEYS.pop("experiment.test_old", None)

@@ -136,6 +136,28 @@ class TestLie:
             xi2 = lie.se3_log(T)
             np.testing.assert_allclose(np.asarray(xi2), xi, rtol=1e-4, atol=1e-6)
 
+    def test_inv_vecs_Xg_ig_matches_reference(self):
+        """Public inverse-left-Jacobian alias vs the reference's torch
+        implementation (lieutils.py:569-582), across small/large angles."""
+        import torch
+        lieutils = load_reference_module(
+            "ref_lieutils", "view_synthesis/utils/lieutils.py")
+        rng = np.random.default_rng(11)
+        for scale in [1e-6, 1e-3, 0.5, 2.0, 3.0]:
+            w = rng.normal(size=(8, 3)).astype(np.float64)
+            w = w / np.linalg.norm(w, axis=-1, keepdims=True) * scale
+            ours = np.asarray(lie.inv_vecs_Xg_ig(jnp.asarray(w)))
+            ref = lieutils.SO3.inv_vecs_Xg_ig(
+                torch.from_numpy(w)).numpy()
+            np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=1e-6)
+        # and it is exactly the matrix se3_log uses for the v component
+        xi = rng.normal(size=(4, 6)) * 0.8
+        T = lie.se3_exp(jnp.asarray(xi))
+        w = lie.so3_log(T[..., :3, :3])
+        v = np.einsum("bij,bj->bi", np.asarray(lie.inv_vecs_Xg_ig(w)),
+                      np.asarray(T[..., :3, 3]))
+        np.testing.assert_allclose(v, xi[:, :3], rtol=1e-4, atol=1e-6)
+
     def test_se3_inverse(self):
         xi = jnp.asarray(np.random.default_rng(4).normal(size=(5, 6)) * 0.7)
         T = lie.se3_exp(xi)

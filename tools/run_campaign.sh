@@ -44,10 +44,15 @@ if [ "$PLATFORM" = "cpu" ]; then
   LOGS=/tmp/campaign_logs
 fi
 
+# generate into a temp dir and rename atomically: an interrupted generation
+# (set -e / Ctrl-C) must not leave a partial tree that later runs silently
+# train on (ADVICE round 2)
 if [ ! -d "$DATA" ]; then
-  python tools/make_synth_data.py --out "$DATA" --name "$CATEGORY" \
+  rm -rf "$DATA.partial"
+  python tools/make_synth_data.py --out "$DATA.partial" --name "$CATEGORY" \
     --style proc --objects 8 --views 50 --val-views 10 --size $SIZE \
     --seed $SEED
+  mv "$DATA.partial" "$DATA"
 fi
 
 # validate_every is pushed out: validation-by-TTO happens once, properly,
@@ -71,10 +76,17 @@ python train.py -c "$CFG" --max-steps "$STEPS" $PLATFLAG $SMOKE_OVR \
 # beyond-reference multi-start that rescues bad azimuth inits).
 # K=4 groups: K=8 with 8 restarts at 128px exceeds v5e HBM at compile
 # (16.41G > 15.75G — RESULTS.md session 10)
+# FLIPSTEPS=300 gives the flipped candidate as many optimization steps as
+# the main TTO loop: the round-2 eval showed 100 steps cannot beat an
+# already-converged (but flipped) basin on loss.  Scaled to 10 on the CPU
+# smoke so the rescue stage stays inside the ~2 min budget (ADVICE round 2).
 RESTARTS=8
 K=4
+FLIPSTEPS=300
 ROUNDS=""
-if [ "$PLATFORM" = "cpu" ]; then RESTARTS=2; K=8; ROUNDS="--rounds 1"; fi
+if [ "$PLATFORM" = "cpu" ]; then
+  RESTARTS=2; K=8; ROUNDS="--rounds 1"; FLIPSTEPS=10
+fi
 # dotted overrides are positional: keep them contiguous AFTER the flags
 # (argparse nargs="*" cannot interleave them between optionals)
 python eval.py -c "$CFG" $PLATFLAG $ROUNDS \
@@ -84,4 +96,4 @@ python eval.py -c "$CFG" $PLATFLAG $ROUNDS \
   dataset.basedir="$DATA" \
   experiment.logdir="$LOGS" \
   optimizer.pose_restarts=$RESTARTS \
-  optimizer.pose_flip_steps=100
+  optimizer.pose_flip_steps=$FLIPSTEPS
