@@ -157,6 +157,8 @@ if __name__ == "__main__":
                          "(runtime.fc_out_tail_sigma; both measured within "
                          "noise at this shape — PERF.md session 6)")
     ap.add_argument("--rays", type=int, default=8192)
+    ap.add_argument("--hidden", type=int, default=256,
+                    help="MLP hidden size (lever-menu sweeps; flagship 256)")
     ap.add_argument("--coarse", type=int, default=64,
                     help="coarse samples/ray (flagship configs use 32)")
     ap.add_argument("--fine", type=int, default=64,
@@ -167,7 +169,7 @@ if __name__ == "__main__":
     a = ap.parse_args()
     if a.watchdog_minutes:
         _arm_watchdog(a.watchdog_minutes)
-    print(json.dumps(run_bench(num_rays=a.rays,
+    print(json.dumps(run_bench(num_rays=a.rays, hidden=a.hidden,
                                num_coarse=a.coarse, num_fine=a.fine,
                                use_pallas=a.pallas or a.pallas_bwd,
                                pallas_backward=a.pallas_bwd,
