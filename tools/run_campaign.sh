@@ -23,24 +23,35 @@ CATEGORY=${1:-cars}
 STEPS=${2:-10000}
 PLATFORM=${3:-}
 
+# NOISE: nerf.train.radiance_field_noise_std — the reference SRN configs'
+# declared value is 0.05 (application line commented out upstream).
+# Chairs NEED it: their 96%-white images drive the fine network into the
+# near-plane density collapse at flagship scale (RESULTS.md session 11).
+# Cars train healthily without it and the recorded v3 cars run used 0.0.
 case "$CATEGORY" in
-  cars)   SEED=7;  CFG=configs/srn-cars-code.yml ;;
-  chairs) SEED=11; CFG=configs/srn-chairs-code.yml ;;
+  cars)   SEED=7;  CFG=configs/srn-cars-code.yml;   NOISE=0.0 ;;
+  chairs) SEED=11; CFG=configs/srn-chairs-code.yml; NOISE=0.05 ;;
   *) echo "unknown category: $CATEGORY" >&2; exit 2 ;;
 esac
 
-DATA=/root/data/synthv2_$CATEGORY
+# v3 datasets: 50 training objects, 8 held-out val objects.  Round 3
+# showed the 8-object v2 latent space OVERFITS (50k-step train PSNR 32,
+# held-out TTO PSNR DROPS vs the 10k checkpoint — RESULTS.md session 11);
+# category-level generalization needs object diversity, not steps.
+DATA=/root/data/synthv3_$CATEGORY
 LOGS=/root/logs
-ID=flagship-v2-$CATEGORY
+ID=flagship-v3-$CATEGORY
 SIZE=128
+OBJECTS=50
 PLATFLAG=""
 if [ "$PLATFORM" = "cpu" ]; then
   PLATFLAG="--platform cpu"
   SIZE=64
   STEPS=60
+  OBJECTS=8
   # keep the category as the LAST underscore token: SRNDataset derives the
   # on-disk name from it (data/srn.py, reference dataset.py convention)
-  DATA=/tmp/smoke_synthv2_$CATEGORY
+  DATA=/tmp/smoke_synthv3_$CATEGORY
   LOGS=/tmp/campaign_logs
 fi
 
@@ -50,8 +61,8 @@ fi
 if [ ! -d "$DATA" ]; then
   rm -rf "$DATA.partial"
   python tools/make_synth_data.py --out "$DATA.partial" --name "$CATEGORY" \
-    --style proc --objects 8 --views 50 --val-views 10 --size $SIZE \
-    --seed $SEED
+    --style proc --objects $OBJECTS --val-objects 8 --views 50 \
+    --val-views 10 --size $SIZE --seed $SEED
   mv "$DATA.partial" "$DATA"
 fi
 
@@ -64,6 +75,7 @@ if [ "$PLATFORM" = "cpu" ]; then
   SMOKE_OVR="nerf.ray_sampler.num_random_rays=512 nerf.point_sampler.num_coarse=16 nerf.point_sampler.num_fine=16 experiment.val_iterations=50"
 fi
 python train.py -c "$CFG" --max-steps "$STEPS" $PLATFLAG $SMOKE_OVR \
+  nerf.train.radiance_field_noise_std=$NOISE \
   dataset.basedir="$DATA" \
   experiment.logdir="$LOGS" \
   experiment.id="$ID" \
