@@ -152,10 +152,9 @@ if __name__ == "__main__":
     ap.add_argument("--layer-bwd", action="store_true",
                     help="single-pass Pallas backward per linear+relu layer")
     ap.add_argument("--no-tail-sigma", action="store_true",
-                    help="measure the reference fc_out column order instead "
-                         "of the default [feat | sigma] permutation "
-                         "(runtime.fc_out_tail_sigma; both measured within "
-                         "noise at this shape — PERF.md session 6)")
+                    help="force the reference fc_out column order")
+    ap.add_argument("--tail-sigma", action="store_true",
+                    help="force the [feat | sigma] column permutation")
     ap.add_argument("--rays", type=int, default=8192)
     ap.add_argument("--hidden", type=int, default=256,
                     help="MLP hidden size (lever-menu sweeps; flagship 256)")
@@ -169,10 +168,23 @@ if __name__ == "__main__":
     a = ap.parse_args()
     if a.watchdog_minutes:
         _arm_watchdog(a.watchdog_minutes)
+    # fc_out_tail_sigma is SHAPE-DEPENDENT (PERF.md session 8): +4.2% at the
+    # flagship train shape 16384x(32+128) where it landed, but -1.4% at this
+    # bench's 64+64 shape (175.4k vs 177.9k, non-overlapping bands) — it was
+    # the main component of the round-2 headline drift.  Default: the
+    # measured winner for the requested shape; --tail-sigma/--no-tail-sigma
+    # force either.  The runtime config default stays ON because training
+    # runs at the flagship shape.
+    if a.no_tail_sigma:
+        tail = False
+    elif a.tail_sigma:
+        tail = True
+    else:
+        tail = a.fine >= 96
     print(json.dumps(run_bench(num_rays=a.rays, hidden=a.hidden,
                                num_coarse=a.coarse, num_fine=a.fine,
                                use_pallas=a.pallas or a.pallas_bwd,
                                pallas_backward=a.pallas_bwd,
                                pallas_hybrid=a.pallas_hybrid,
                                pallas_layer_bwd=a.layer_bwd,
-                               fc_out_tail_sigma=not a.no_tail_sigma)))
+                               fc_out_tail_sigma=tail)))
