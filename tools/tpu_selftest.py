@@ -46,20 +46,42 @@ def _inputs(cfg, R, S, seed=0):
     return pts, dir_enc, z_s, z_t
 
 
-def _max_rel(a, b):
+# ---------------------------------------------------------------------------
+# Metric: worst-leaf relative RMS against a HIGHEST-precision reference,
+# budgeted against the XLA path's own low-precision noise.
+#
+# Round-3 postmortem (PERF.md session 8): the original metric compared the
+# compiled kernel against the DEFAULT-precision XLA path with an elementwise
+# max-rel and a 1e-3 denominator floor.  On TPU, default-precision f32
+# matmuls run through the MXU's bf16 passes, so BOTH sides of that
+# comparison carry ~7% relRMS noise on the worst gradient leaves; the round-2
+# dw-as-dot_general rewrite changed the XLA side's rounding pattern,
+# decorrelated the noise, and the metric exploded (9.1 "rel err") with NO
+# actual bug — at highest precision the same VJPs match a pure-autodiff
+# oracle to 1e-6.  The honest question is "is the compiled kernel within the
+# low-precision noise the XLA path itself pays?", so each family now reports
+#   err  = worst-leaf relRMS(kernel, highest-precision reference)
+#   gate = max(1.5 x worst-leaf relRMS(default-precision XLA, same ref), floor)
+# which is self-calibrating across shapes and jax versions.
+# ---------------------------------------------------------------------------
+
+NOISE_MULT = 1.5
+FLOOR = 1e-4
+
+
+def _rel_rms(a, b):
     a = np.asarray(a, np.float64).ravel()
     b = np.asarray(b, np.float64).ravel()
-    denom = np.maximum(np.abs(b), 1e-3)
-    return float(np.max(np.abs(a - b) / denom))
+    return float(np.linalg.norm(a - b) / max(np.linalg.norm(b), 1e-12))
 
 
-def _grad_max_rel(got, want):
+def _tree_rel_rms(got, want):
     import jax
     worst = 0.0
     for a, b in zip(jax.tree.leaves(got), jax.tree.leaves(want)):
         if a is None or b is None:
             continue
-        worst = max(worst, _max_rel(a, b))
+        worst = max(worst, _rel_rms(a, b))
     return worst
 
 
@@ -72,8 +94,10 @@ def check_fused_fwd(cfg, R, S):
                                 cfg.include_input_xyz, True, tile_rows=256)
     pts, dir_enc, z_s, z_t = _inputs(cfg, R, S)
     got = jax.jit(fused)(params, pts, dir_enc, z_s, z_t)
-    want = jax.jit(fused.xla_reference)(params, pts, dir_enc, z_s, z_t)
-    return _max_rel(got, want)
+    xla = jax.jit(fused.xla_reference)(params, pts, dir_enc, z_s, z_t)
+    with jax.default_matmul_precision("highest"):
+        want = jax.jit(fused.xla_reference)(params, pts, dir_enc, z_s, z_t)
+    return _rel_rms(got, want), _rel_rms(xla, want)
 
 
 def _check_grad_family(cfg, R, S, **make_kw):
@@ -98,10 +122,14 @@ def _check_grad_family(cfg, R, S, **make_kw):
 
     got = jax.jit(jax.grad(loss(fn), argnums=(0, 1, 2, 3, 4)))(
         params, z_s, z_t, dir_enc, pts)
-    want = jax.jit(jax.grad(loss(fn.xla_reference),
-                            argnums=(0, 1, 2, 3, 4)))(
+    xla = jax.jit(jax.grad(loss(fn.xla_reference),
+                           argnums=(0, 1, 2, 3, 4)))(
         params, z_s, z_t, dir_enc, pts)
-    return _grad_max_rel(got, want)
+    with jax.default_matmul_precision("highest"):
+        want = jax.jit(jax.grad(loss(fn.xla_reference),
+                                argnums=(0, 1, 2, 3, 4)))(
+            params, z_s, z_t, dir_enc, pts)
+    return _tree_rel_rms(got, want), _tree_rel_rms(xla, want)
 
 
 def check_fused_bwd(cfg, R, S):
@@ -134,8 +162,10 @@ def check_layer_bwd(cfg, R, S):
         return jax.grad(f, argnums=(0, 1, 2))(x, w, b)
 
     got = jax.jit(op_pallas)(x, w, b, g)
-    want = jax.jit(op_xla)(x, w, b, g)
-    return _grad_max_rel(got, want)
+    xla = jax.jit(op_xla)(x, w, b, g)
+    with jax.default_matmul_precision("highest"):
+        want = jax.jit(op_xla)(x, w, b, g)
+    return _tree_rel_rms(got, want), _tree_rel_rms(xla, want)
 
 
 def check_int8(cfg, R, S):
@@ -164,12 +194,15 @@ def check_int8(cfg, R, S):
 
 
 # family -> (check_fn, tolerance on max relative error)
+# family -> check_fn.  Grad/fwd families return (err, xla_noise) and pass
+# iff err <= max(NOISE_MULT * xla_noise, FLOOR); int8 returns a single
+# energy ratio judged against a fixed 0.05 (approximate by design).
 FAMILIES = {
-    "fused_fwd": (check_fused_fwd, 3e-3),
-    "fused_bwd": (check_fused_bwd, 5e-3),
-    "hybrid": (check_hybrid, 5e-3),
-    "layer_bwd": (check_layer_bwd, 5e-3),
-    "int8": (check_int8, 0.05),
+    "fused_fwd": check_fused_fwd,
+    "fused_bwd": check_fused_bwd,
+    "hybrid": check_hybrid,
+    "layer_bwd": check_layer_bwd,
+    "int8": check_int8,
 }
 
 
@@ -219,19 +252,28 @@ def main(argv=None):
         if name not in FAMILIES:
             print(f"unknown family {name!r}; have {list(FAMILIES)}")
             return 2
-        fn, tol = FAMILIES[name]
+        fn = FAMILIES[name]
         t0 = time.time()
         try:
-            err = fn(cfg, args.rays, args.samples)
+            res = fn(cfg, args.rays, args.samples)
         except Exception as e:  # compile or runtime failure is a failure
             print(f"[{name}] ERROR after {time.time()-t0:.0f}s: {e!r}",
                   flush=True)
             failures.append(name)
             continue
-        ok = err <= tol
-        print(f"[{name}] max_rel_err={err:.2e} tol={tol:.0e} "
-              f"{'OK' if ok else 'FAIL'} ({time.time()-t0:.0f}s)",
-              flush=True)
+        if name == "int8":
+            err, tol = res, 0.05
+            ok = err <= tol
+            print(f"[{name}] rel_rms_energy={err:.2e} tol={tol:.0e} "
+                  f"{'OK' if ok else 'FAIL'} ({time.time()-t0:.0f}s)",
+                  flush=True)
+        else:
+            err, xla_noise = res
+            tol = max(NOISE_MULT * xla_noise, FLOOR)
+            ok = err <= tol
+            print(f"[{name}] rel_rms={err:.2e} xla_noise={xla_noise:.2e} "
+                  f"gate={tol:.2e} {'OK' if ok else 'FAIL'} "
+                  f"({time.time()-t0:.0f}s)", flush=True)
         if not ok:
             failures.append(name)
     if failures:
