@@ -442,12 +442,22 @@ DEPRECATED_KEYS: set = {
     "models.nerf_coarse.skip_connect_every",
     "models.nerf_fine.skip_connect_every",
 }
+# Values are either the new dotted key, or a (new_key, message) tuple when
+# the rename is not a pure respelling — the reference's registry supports
+# exactly this form (cfg_node.py:282-296) for renames that need a caveat.
 RENAMED_KEYS: dict = {
     "experiment.train_iters": "experiment.iterations",
     "models.coarse": "models.nerf_coarse",
     "models.fine": "models.nerf_fine",
     "nerf.train.num_random_rays": "nerf.ray_sampler.num_random_rays",
-    "scheduler.lr_decay": "optimizer.scheduler_step_size",
+    # the old key counted in THOUSANDS of steps; _normalize multiplies
+    # yaml values by 1000, but a dotted override of the new key is in raw
+    # steps — a user following a bare rename hint would set a value 1000x
+    # too small (ADVICE round 3)
+    "scheduler.lr_decay": ("optimizer.scheduler_step_size",
+                           "note the unit change: the old key counted "
+                           "thousands of steps, the new key counts steps "
+                           "(multiply your value by 1000)"),
     "scheduler.lr_decay_factor": "optimizer.scheduler_gamma",
 }
 
@@ -483,8 +493,12 @@ def _apply_override(cfg: Config, dotted: str, value) -> Config:
         warnings.warn(f"deprecated config key (ignoring): {dotted}")
         return cfg
     if key_is_renamed(dotted):
-        raise KeyError(f"key {dotted} was renamed to {RENAMED_KEYS[dotted]}; "
-                       f"please update your override")
+        target = RENAMED_KEYS[dotted]
+        note = ""
+        if isinstance(target, tuple):
+            target, note = target[0], f" ({target[1]})"
+        raise KeyError(f"key {dotted} was renamed to {target}; "
+                       f"please update your override{note}")
     path = dotted.split(".")
     def rec(node, keys):
         if not dataclasses.is_dataclass(node):

@@ -37,6 +37,7 @@ import os
 from typing import Optional
 
 import jax
+import jax.numpy as jnp
 
 # Live hidden-wide activation tensors at the backward peak, calibrated on
 # the v5e failure point (see module docstring).  Includes the positional
@@ -74,7 +75,12 @@ def tto_group_bytes(settings, num_random_rays: int, K: int) -> int:
     s_union = settings.num_coarse + settings.num_fine
     hidden = max(settings.coarse_cfg.hidden_size,
                  settings.fine_cfg.hidden_size)
-    itemsize = 2 if getattr(settings.coarse_cfg, "compute_dtype", None) else 4
+    # bytes from the ACTUAL activation dtype: a settings built directly with
+    # compute_dtype='float32' must size as 4 bytes, not pattern-match truthy
+    # (RenderSettings.from_config normalizes 'float32' to None, but this
+    # module must not depend on that) — ADVICE round 3
+    cd = getattr(settings.coarse_cfg, "compute_dtype", None)
+    itemsize = jnp.dtype(cd or "float32").itemsize
     points = K * num_random_rays * (s_coarse + s_union)
     return int(points * ACT_FACTOR * hidden * itemsize)
 
@@ -100,7 +106,19 @@ def max_batch_objects(settings, num_random_rays: int, requested: int,
 
 
 def is_oom_error(err: BaseException) -> bool:
-    """True for XLA's compile- or run-time out-of-memory failures."""
+    """True for XLA's compile- or run-time out-of-memory failures.
+
+    Anchored on RESOURCE_EXHAUSTED (XLA's canonical OOM status) and
+    otherwise gated on the exception TYPE being in the RuntimeError family
+    (jax.errors.JaxRuntimeError / jaxlib XlaRuntimeError subclass it) — a
+    ValueError or AssertionError whose message merely embeds 'out of
+    memory' must NOT silently trigger the K-halving retry in
+    ``validate_category`` instead of surfacing — ADVICE round 3.
+    """
     msg = str(err)
-    return ("RESOURCE_EXHAUSTED" in msg or "Out of memory" in msg
-            or "out of memory" in msg or "exceeds the amount" in msg)
+    if "RESOURCE_EXHAUSTED" in msg:
+        return True
+    if not isinstance(err, RuntimeError):
+        return False
+    return ("Out of memory" in msg or "out of memory" in msg
+            or "exceeds the amount" in msg)

@@ -248,6 +248,123 @@ def make_batched_tto_step(settings: RenderSettings, optimizer,
 
 
 # ---------------------------------------------------------------------------
+# Multi-view TTO (beyond-reference, VERDICT round-3 item 2b)
+# ---------------------------------------------------------------------------
+#
+# The reference's TTO recovers codes + pose from ONE target view
+# (eval.py:122-168).  For near-rotationally-symmetric objects (procedural
+# chairs; the paper reports the same class on symmetric SRN objects) a
+# single photometric loss cannot separate the true pose basin from a
+# symmetry-transformed one — both render the one target view equally well.
+# Multi-view TTO poses V views of the SAME object as one optimization
+# problem: codes are shared across views, each view carries its own
+# spherical camera, and the loss is the mean over views.  A symmetry that
+# happens to fool one view must fool all V views CONSISTENTLY to win,
+# which sharpens basin separation for near-symmetries (a perfect discrete
+# symmetry of the object remains irreducibly ambiguous from photometry
+# alone).  Rays from all (object, view) pairs concatenate into one render
+# exactly like batched TTO, so the chip stays saturated.
+
+def init_multiview_tto_state(code_tables, opt_cfg, num_objects: int,
+                             num_views: int,
+                             pose_init=(1.57, 0.0, 1.30)
+                             ) -> tuple[TTOState, object]:
+    """TTO state for K objects x V views: codes [K, C] are per-object,
+    pose parameters [K, V] are per-view.  ``pose_init`` entries may be
+    scalars or [K]/[K, V] arrays."""
+    z_s0, z_t0 = mean_codes(code_tables)
+    K, V = num_objects, num_views
+    theta, phi, rho = (
+        jnp.broadcast_to(jnp.asarray(v, jnp.float32), (K, V))
+        for v in pose_init)
+    variables = {
+        "z_s": jnp.broadcast_to(z_s0, (K, z_s0.shape[-1])),
+        "z_t": jnp.broadcast_to(z_t0, (K, z_t0.shape[-1])),
+        "theta": theta, "phi": phi, "rho": rho,
+    }
+    optimizer = build_tto_optimizer(opt_cfg)
+    return TTOState(variables, optimizer.init(variables),
+                    jnp.zeros((), jnp.int32)), optimizer
+
+
+def make_multiview_tto_step(settings: RenderSettings, optimizer,
+                            num_random_rays: int, regularizer_lambda: float,
+                            perturb: bool, mesh=None) -> Callable:
+    """Build the jitted K-object, V-view TTO step.
+
+    Returned signature:
+      step(tto_state, model_params, directions, target_images, poses_gt, key)
+        -> (new_tto_state, BatchedTTOMetrics)
+
+    ``target_images``: [K, V, H, W, C]; ``poses_gt``: [K, V, 4, 4] (metric
+    only).  Each view draws its own ``num_random_rays`` pixel subset, so
+    one step renders K*V*R rays.  Reported per-object metrics average over
+    views; ``pose_error`` is the mean over views of the SE3-log metric.
+    """
+    R = num_random_rays
+
+    def loss_fn(variables, model_params, directions, target_images, key):
+        K, V = target_images.shape[:2]
+        cam_poses = jax.vmap(jax.vmap(pose_spherical))(
+            variables["theta"], variables["phi"], variables["rho"])
+        k_sel, k_render = jax.random.split(key)
+        H, W = directions.shape[:2]
+        ro, rd = ray_bundle(directions, cam_poses.reshape(K * V, 4, 4))
+        ro = ro.reshape(K * V, H * W, 3)
+        rd = rd.reshape(K * V, H * W, 3)
+        inds = select_ray_indices(k_sel, H * W, R, K * V)    # [K*V, R]
+        ro = jnp.take_along_axis(ro, inds[..., None],
+                                 axis=1).reshape(K * V * R, 3)
+        rd = jnp.take_along_axis(rd, inds[..., None],
+                                 axis=1).reshape(K * V * R, 3)
+        target = jnp.take_along_axis(
+            target_images.reshape(K * V, H * W, -1), inds[..., None], axis=1)
+        target = target.reshape(K * V * R, -1)
+        ro, rd, target = shard_rays(mesh, ro, rd, target)
+
+        # codes broadcast per object over its V*R rays
+        z_s = jnp.broadcast_to(variables["z_s"][:, None, :],
+                               (K, V * R, variables["z_s"].shape[-1]))
+        z_t = jnp.broadcast_to(variables["z_t"][:, None, :],
+                               (K, V * R, variables["z_t"].shape[-1]))
+        out_c, out_f = render_rays(
+            {"coarse": model_params["coarse"], "fine": model_params["fine"]},
+            settings, ro, rd, z_s.reshape(K * V * R, -1),
+            z_t.reshape(K * V * R, -1), k_render, perturb)
+
+        err_c = (out_c.rgb - target[..., :3]) ** 2
+        err_f = (out_f.rgb - target[..., :3]) ** 2
+        # mean over views and rays -> per-object [K]
+        loss_c = jnp.mean(err_c.reshape(K, V * R, 3), axis=(1, 2))
+        loss_f = jnp.mean(err_f.reshape(K, V * R, 3), axis=(1, 2))
+        loss_e = regularizer_lambda * jnp.sqrt(float(R)) * (
+            jnp.linalg.norm(variables["z_s"], axis=-1)
+            + jnp.linalg.norm(variables["z_t"], axis=-1))
+        per_object = loss_c + loss_f + loss_e
+        return jnp.sum(per_object), (loss_c, loss_f, loss_e, per_object,
+                                     cam_poses)
+
+    def tto_step(state: TTOState, model_params, directions, target_images,
+                 poses_gt, key):
+        (_, (loss_c, loss_f, loss_e, per_object, cam_poses)), grads = (
+            jax.value_and_grad(loss_fn, has_aux=True)(
+                state.variables, model_params, directions, target_images,
+                key))
+        updates, opt_state = optimizer.update(grads, state.opt_state,
+                                              state.variables)
+        variables = optax.apply_updates(state.variables, updates)
+        perr = jnp.mean(jax.vmap(jax.vmap(lie.pose_error))(poses_gt,
+                                                           cam_poses),
+                        axis=1)                                  # [K]
+        metrics = BatchedTTOMetrics(
+            loss=per_object, loss_coarse=loss_c, loss_fine=loss_f,
+            loss_embedding=loss_e, psnr=mse2psnr(loss_f), pose_error=perr)
+        return TTOState(variables, opt_state, state.step + 1), metrics
+
+    return jax.jit(tto_step, donate_argnums=(0,))
+
+
+# ---------------------------------------------------------------------------
 # SE(3)-tangent pose refinement (beyond-reference, VERDICT round-1 item 7)
 # ---------------------------------------------------------------------------
 #

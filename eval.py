@@ -31,6 +31,12 @@ def main():
                              "render for EVERY distinct val object, in "
                              "--batch-objects-sized groups, and print a "
                              "per-object table + category means.")
+    parser.add_argument("--tto-views", type=int, default=1,
+                        help="Multi-view TTO (beyond-reference): optimize "
+                             "each object's codes against this many held-out "
+                             "views jointly (one spherical camera per view) "
+                             "— disambiguates near-symmetric objects that "
+                             "single-view photometric TTO cannot.")
     parser.add_argument("--multihost", action="store_true")
     parser.add_argument("--platform", type=str, default=None,
                         help="Force a jax platform (e.g. cpu for smoke runs).")
@@ -69,9 +75,11 @@ def main():
 
     if args.all_objects:
         validate_category(harness, state.params, logger,
-                          args.batch_objects or 4)
+                          args.batch_objects or 4,
+                          tto_views=args.tto_views)
     elif args.batch_objects:
-        validate_batched(harness, state.params, logger, args.batch_objects)
+        validate_batched(harness, state.params, logger, args.batch_objects,
+                         tto_views=args.tto_views)
     else:
         rounds = args.rounds
         if rounds is None:

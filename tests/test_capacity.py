@@ -89,6 +89,27 @@ class TestEstimator:
         assert capacity.is_oom_error(
             RuntimeError("Allocation ... exceeds the amount available"))
         assert not capacity.is_oom_error(ValueError("shape mismatch"))
+        # type gate (ADVICE round 3): non-RuntimeError exceptions whose
+        # message merely embeds OOM-looking text must surface, not retry
+        assert not capacity.is_oom_error(
+            ValueError("path '/data/out of memory test' not found"))
+        assert not capacity.is_oom_error(
+            AssertionError("expected 'Out of memory' in log"))
+        # ...but RESOURCE_EXHAUSTED is trusted regardless of wrapper type
+        assert capacity.is_oom_error(
+            Exception("XlaRuntimeError: RESOURCE_EXHAUSTED: ..."))
+
+    def test_itemsize_follows_actual_dtype(self):
+        """A settings built DIRECTLY with compute_dtype='float32' must size
+        activations at 4 bytes — the truthiness heuristic halved it and
+        over-admitted K (ADVICE round 3)."""
+        import dataclasses
+        s = _flagship_settings()           # bf16 -> 2 bytes/el
+        cc32 = dataclasses.replace(s.coarse_cfg, compute_dtype="float32")
+        cf32 = dataclasses.replace(s.fine_cfg, compute_dtype="float32")
+        s32 = dataclasses.replace(s, coarse_cfg=cc32, fine_cfg=cf32)
+        assert (capacity.tto_group_bytes(s32, 4096, 4)
+                == 2 * capacity.tto_group_bytes(s, 4096, 4))
 
 
 class TestCategoryAutoSplit:

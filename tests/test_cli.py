@@ -198,18 +198,22 @@ def test_eval_cli_batched_tto(synth_root, tmp_path):
     assert "batched TTO: 3 objects" in res.stdout
     assert "PSNR mean" in res.stdout
     # category protocol: every distinct val object, groups of 3 (2 objects
-    # here -> one padded group), per-object table + means
+    # here -> one padded group), per-object table + means.  --tto-views 2
+    # exercises the multi-view TTO path (shared codes, per-view cameras)
+    # and every row carries the GT-pose symmetry-equivalence column.
     res = subprocess.run(
         [sys.executable, "eval.py", "-c", "configs/synth-smoke.yml",
          "--platform", "cpu",
          "--load-checkpoint", str(tmp_path / "logs" / "bt" / "checkpoints"),
-         "--all-objects", "--batch-objects", "3",
+         "--all-objects", "--batch-objects", "3", "--tto-views", "2",
          f"dataset.basedir={synth_root}",
          f"experiment.logdir={tmp_path}/logs", "experiment.id=bt",
          "experiment.val_iterations=3"] + shrink,
         cwd=ROOT, capture_output=True, text=True, timeout=300)
     assert res.returncode == 0, res.stderr[-2000:]
     assert "category evaluation over 2 objects" in res.stdout
+    assert "2 views/object" in res.stdout
+    assert "dPSNR(GT pose)" in res.stdout
     assert "mean   |" in res.stdout
 
 

@@ -154,6 +154,17 @@ class TestCfgNodeCompat:
             load_config(REF_CONFIGS / "srn-cars-code.yml",
                         overrides=["experiment.train_iters=5"])
 
+    def test_renamed_key_with_unit_note(self):
+        """scheduler.lr_decay counted THOUSANDS of steps; the rename hint
+        must carry the unit conversion or users set a value 1000x too
+        small (ADVICE round 3; the reference registry's (new, message)
+        form, cfg_node.py:282-296)."""
+        with pytest.raises(KeyError) as ei:
+            load_config(REF_CONFIGS / "srn-cars-code.yml",
+                        overrides=["scheduler.lr_decay=250"])
+        assert "optimizer.scheduler_step_size" in str(ei.value)
+        assert "multiply your value by 1000" in str(ei.value)
+
     def test_register_new_keys(self):
         from codenerf_tpu.config.schema import (
             DEPRECATED_KEYS, RENAMED_KEYS, register_deprecated_key,

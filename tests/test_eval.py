@@ -193,6 +193,112 @@ class TestBatchedTTO:
                                    np.asarray(a.variables["z_s"]))
 
 
+class TestMultiviewTTO:
+    """Multi-view TTO (beyond-reference, VERDICT round-3 item 2b): V views
+    of each object share one code vector, per-view spherical cameras."""
+
+    def test_v1_matches_batched(self):
+        """V=1 multi-view step reproduces the batched step (same PRNG call
+        structure and loss by construction)."""
+        from codenerf_tpu.eval.tto import (init_multiview_tto_state,
+                                           make_multiview_tto_step)
+        cfg, settings, state, dirs = _setup()
+        K = 2
+        poses_gt = jnp.stack([pose_spherical(1.8, 0.3, 1.5),
+                              pose_spherical(1.5, -0.4, 1.2)])
+        targets = jnp.stack([jnp.full((8, 8, 3), 0.4),
+                             jnp.full((8, 8, 3), 0.7)])
+
+        tto_b, opt_b = init_batched_tto_state(state.params["codes"],
+                                              cfg.optimizer, K)
+        step_b = make_batched_tto_step(settings, opt_b, num_random_rays=32,
+                                       regularizer_lambda=1e-5, perturb=True)
+        tto_m, opt_m = init_multiview_tto_state(state.params["codes"],
+                                                cfg.optimizer, K, 1)
+        step_m = make_multiview_tto_step(settings, opt_m, num_random_rays=32,
+                                         regularizer_lambda=1e-5,
+                                         perturb=True)
+        key = jax.random.PRNGKey(7)
+        for _ in range(3):
+            key, k = jax.random.split(key)
+            tto_b, m_b = step_b(tto_b, state.params, dirs, targets,
+                                poses_gt, k)
+            tto_m, m_m = step_m(tto_m, state.params, dirs, targets[:, None],
+                                poses_gt[:, None], k)
+        np.testing.assert_allclose(np.asarray(tto_m.variables["z_s"]),
+                                   np.asarray(tto_b.variables["z_s"]),
+                                   rtol=2e-5, atol=1e-7)
+        np.testing.assert_allclose(np.asarray(tto_m.variables["theta"][:, 0]),
+                                   np.asarray(tto_b.variables["theta"]),
+                                   rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(m_m.loss), np.asarray(m_b.loss),
+                                   rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(m_m.pose_error),
+                                   np.asarray(m_b.pose_error), rtol=1e-5)
+
+    def test_multiview_optimizes_shared_codes_per_view_poses(self):
+        from codenerf_tpu.eval.tto import (init_multiview_tto_state,
+                                           make_multiview_tto_step)
+        cfg, settings, state, dirs = _setup()
+        K, V = 2, 3
+        poses_gt = jnp.stack([
+            jnp.stack([pose_spherical(1.4 + 0.2 * v, 0.5 * v, 1.3)
+                       for v in range(V)]) for _ in range(K)])
+        targets = jnp.stack([
+            jnp.stack([jnp.full((8, 8, 3), 0.2 + 0.2 * v)
+                       for v in range(V)]) for _ in range(K)])
+
+        tto, opt = init_multiview_tto_state(state.params["codes"],
+                                            cfg.optimizer, K, V)
+        assert tto.variables["z_s"].shape[0] == K      # codes per OBJECT
+        assert tto.variables["theta"].shape == (K, V)  # pose per VIEW
+        step = make_multiview_tto_step(settings, opt, num_random_rays=32,
+                                       regularizer_lambda=1e-5, perturb=True)
+        key = jax.random.PRNGKey(5)
+        losses = []
+        for _ in range(15):
+            key, k = jax.random.split(key)
+            tto, m = step(tto, state.params, dirs, targets, poses_gt, k)
+            losses.append(float(jnp.sum(m.loss)))
+        assert losses[-1] < losses[0]
+        # per-view cameras moved INDEPENDENTLY (different targets/views)
+        th = np.asarray(tto.variables["theta"])
+        assert np.ptp(th[0]) > 1e-5
+        assert np.all(np.isfinite(np.asarray(m.pose_error)))
+
+    def test_objects_independent_under_multiview(self):
+        """Changing object 1's views must not change object 0's update."""
+        from codenerf_tpu.eval.tto import (init_multiview_tto_state,
+                                           make_multiview_tto_step)
+        cfg, settings, state, dirs = _setup()
+        K, V = 2, 2
+        poses_gt = jnp.stack([
+            jnp.stack([pose_spherical(1.8, 0.3, 1.5),
+                       pose_spherical(1.6, 0.8, 1.4)]) for _ in range(K)])
+        base = jnp.stack([jnp.full((8, 8, 3), 0.4),
+                          jnp.full((8, 8, 3), 0.5)])
+        tA = jnp.stack([base, jnp.full((2, 8, 8, 3), 0.7)])
+        tB = jnp.stack([base, jnp.full((2, 8, 8, 3), 0.1)])
+
+        key = jax.random.PRNGKey(3)
+        outs = []
+        for targets in (tA, tB):
+            tto, opt = init_multiview_tto_state(state.params["codes"],
+                                                cfg.optimizer, K, V)
+            step = make_multiview_tto_step(settings, opt, num_random_rays=32,
+                                           regularizer_lambda=1e-5,
+                                           perturb=True)
+            s, m = step(tto, state.params, dirs, targets, poses_gt, key)
+            outs.append((s, m))
+        (sA, mA), (sB, mB) = outs
+        np.testing.assert_allclose(np.asarray(sA.variables["z_s"][0]),
+                                   np.asarray(sB.variables["z_s"][0]),
+                                   rtol=1e-6, atol=0)
+        np.testing.assert_allclose(float(mA.loss[0]), float(mB.loss[0]),
+                                   rtol=1e-6)
+        assert abs(float(mA.loss[1]) - float(mB.loss[1])) > 1e-4
+
+
 class TestImageRenderer:
     def test_render_shapes_and_finite(self):
         cfg, settings, state, dirs = _setup()
