@@ -373,6 +373,9 @@ def run_tto_bench(num_objects: int = 4, image_size: int = 96,
             now = time.perf_counter()
             window_rates.append(100.0 / (now - t_w))
             t_w = now
+    if not window_rates:               # tto_steps < 100 (smoke shapes)
+        jax.block_until_ready(m.loss)
+        window_rates.append(tto_steps / (time.perf_counter() - t_w))
 
     # flip-rescue candidate + judging steps (harness.validate_batched)
     v = tto.variables

@@ -56,6 +56,25 @@ class SRNDataset:
             height, width = map(int, lines[-1].split())
         return focal, cx, cy, height, width
 
+    def intrinsics_homogeneous(self, rtol: float = 1e-5) -> bool:
+        """True when every object's intrinsics.txt agrees with the first.
+
+        Real SRN objects each carry their OWN intrinsics.txt (reference
+        dataset.py:66-69), but the experiment harness — like the reference
+        (train.py:51-52) — probes ONE sample and builds a single
+        pixel-direction grid for the whole dataset.  Heterogeneous focal
+        lengths would silently mis-render every non-probed object, so the
+        harness calls this and fails loudly instead (harness.py).  Cached
+        after the first call (one small text file per object).
+        """
+        cached = getattr(self, "_intrinsics_homogeneous", None)
+        if cached is not None:
+            return cached
+        vals = [self._read_intrinsics(i) for i in range(self.num_objects)]
+        hom = all(np.allclose(v, vals[0], rtol=rtol) for v in vals[1:])
+        self._intrinsics_homogeneous = hom
+        return hom
+
     def _meta_for(self, index: int):
         """(object_id, intrinsic, pose) — everything except pixels."""
         object_index, _ = self.rgb_files[index]

@@ -37,6 +37,13 @@ def main():
                              "views jointly (one spherical camera per view) "
                              "— disambiguates near-symmetric objects that "
                              "single-view photometric TTO cannot.")
+    parser.add_argument("--num-objects", type=int, default=None,
+                        help="Size of the checkpoint's embedding tables when "
+                             "it differs from the eval dataset's train-object "
+                             "count (e.g. evaluating a 400-object-table "
+                             "checkpoint against another lineage's val "
+                             "split; TTO init only uses the table MEAN, so "
+                             "val objects need not be table rows).")
     parser.add_argument("--multihost", action="store_true")
     parser.add_argument("--platform", type=str, default=None,
                         help="Force a jax platform (e.g. cpu for smoke runs).")
@@ -63,7 +70,8 @@ def main():
 
     state, _ = init_train_state(jax.random.PRNGKey(cfg.experiment.randomseed),
                                 cfg, harness.settings,
-                                harness.train_dataset.num_objects)
+                                args.num_objects
+                                or harness.train_dataset.num_objects)
     state = checkpoint.restore_checkpoint(args.load_checkpoint, state)
     if harness.mesh is not None:
         # restored arrays come back committed to one device; the TTO step

@@ -518,6 +518,15 @@ def main():
                          "with it).  Uses a side rng so the generated "
                          "objects are identical to a jitter-free run with "
                          "the same seed.")
+    ap.add_argument("--focal-jitter", type=float, default=0.0,
+                    help="per-object fractional focal-length variation "
+                         "(e.g. 0.1 = +-10%%).  Real SRN objects each carry "
+                         "their own intrinsics.txt (reference "
+                         "dataset.py:66-69); this flag generates such "
+                         "heterogeneous-intrinsics data to exercise the "
+                         "loader/harness contract.  Uses a side rng so the "
+                         "objects are identical to a jitter-free run with "
+                         "the same seed.")
     args = ap.parse_args()
 
     category = args.category
@@ -545,8 +554,14 @@ def main():
             d = root / f"{args.name}_{stage}" / f"obj{o:03d}"
             (d / "rgb").mkdir(parents=True, exist_ok=True)
             (d / "pose").mkdir(parents=True, exist_ok=True)
+            obj_focal = focal
+            if args.focal_jitter > 0:
+                fr = np.random.default_rng(
+                    [args.seed, 7007, 0 if stage == "train" else 1, o])
+                obj_focal = focal * float(
+                    1.0 + fr.uniform(-args.focal_jitter, args.focal_jitter))
             (d / "intrinsics.txt").write_text(
-                f"{focal} {W/2} {H/2} 0.\n0. 0. 0.\n1.\n{H} {W}\n")
+                f"{obj_focal} {W/2} {H/2} 0.\n0. 0. 0.\n1.\n{H} {W}\n")
             render = make_renderer(rng, args.style, category)
             for v in range(n_views):
                 # theta is ELEVATION in this parametrization (the reference
@@ -568,7 +583,7 @@ def main():
                 if stage == "val" and args.val_pose_jitter > 0:
                     jr = np.random.default_rng([args.seed, 9009, o, v])
                     pose_gl = jitter_pose(pose_gl, jr, args.val_pose_jitter)
-                img, _ = render(H, W, focal, pose_gl)
+                img, _ = render(H, W, obj_focal, pose_gl)
                 imageio.imwrite(d / "rgb" / f"{v:06d}.png", img)
                 # loader applies diag(1,-1,-1,1) on read; store the
                 # pre-flip (OpenGL) pose so it round-trips

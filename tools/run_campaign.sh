@@ -9,9 +9,12 @@
 # held-out object) exactly as recorded in RESULTS.md.
 #
 # Usage:
-#   sh tools/run_campaign.sh [cars|chairs] [STEPS] [PLATFORM]
-# Defaults: cars, 10000 steps, the real TPU.  PLATFORM=cpu gives a
-# scaled-down smoke of the identical pipeline (64px, 60 steps) in ~2 min.
+#   sh tools/run_campaign.sh [cars|chairs] [STEPS] [PLATFORM] [OBJECTS]
+# Defaults: cars, 10000 steps, the real TPU, 50 training objects (the v3
+# lineage).  OBJECTS=400 selects the round-4 v4 lineage (400 training
+# objects — the diversity-scaling campaign toward the paper's 2458-object
+# SRN-cars).  PLATFORM=cpu gives a scaled-down smoke of the identical
+# pipeline (64px, 60 steps) in ~2 min.
 #
 # Mirrors the reference workflow (reference README.md:25-40: download SRN
 # data, train.py, eval.py) with the data-acquisition step replaced by the
@@ -22,6 +25,7 @@ cd "$(dirname "$0")/.."
 CATEGORY=${1:-cars}
 STEPS=${2:-10000}
 PLATFORM=${3:-}
+OBJECTS=${4:-50}
 
 # NOISE: nerf.train.radiance_field_noise_std — the reference SRN configs'
 # declared value is 0.05 (application line commented out upstream).
@@ -38,11 +42,23 @@ esac
 # showed the 8-object v2 latent space OVERFITS (50k-step train PSNR 32,
 # held-out TTO PSNR DROPS vs the 10k checkpoint — RESULTS.md session 11);
 # category-level generalization needs object diversity, not steps.
-DATA=/root/data/synthv3_$CATEGORY
+# dataset lineage by object count: 50 = v3 (round 3), 400 = v4 (round 4);
+# other counts get their own suffixed dir.  NOTE: the generator draws all
+# objects from ONE sequential stream (train stage first), so each
+# lineage's 8 held-out objects are DIFFERENT draws from the same
+# distribution.  For an apples-to-apples cross-lineage comparison,
+# evaluate the larger-lineage checkpoint against the v3 val split
+# (eval.py dataset.basedir=/root/data/synthv3_<cat>) — TTO initializes
+# codes from the table mean, so the val objects need not be table rows.
+case "$OBJECTS" in
+  50)  VER=v3 ;;
+  400) VER=v4 ;;
+  *)   VER="o$OBJECTS" ;;
+esac
+DATA=/root/data/synth${VER}_$CATEGORY
 LOGS=/root/logs
-ID=flagship-v3-$CATEGORY
+ID=flagship-$VER-$CATEGORY
 SIZE=128
-OBJECTS=50
 PLATFLAG=""
 if [ "$PLATFORM" = "cpu" ]; then
   PLATFLAG="--platform cpu"
