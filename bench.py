@@ -236,6 +236,15 @@ def run_serving_bench(variant: str = "bf16", num_rays: int = 8192,
         return acc
 
     float(jax.device_get(render_chain(params, ro, rd, z)))  # compile + warm
+    # Two more full UNTIMED windows before banding: the single warm call
+    # was not enough for the int8 variant in BENCH_r04_serving (one cold
+    # first window widened band_rel_spread to 0.1921 vs 0.01-0.02 for the
+    # other variants, defeating the band's purpose as a drift record —
+    # VERDICT round-4 weak item 3).  The headline mode is warm after one
+    # call; the serving chain apparently needs the device to reach steady
+    # state (clocks / tunnel buffers) before the first timed window.
+    for _ in range(2):
+        float(jax.device_get(render_chain(params, ro, rd, z)))
     rates = []
     for _ in range(windows):
         t0 = time.perf_counter()

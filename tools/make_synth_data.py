@@ -527,6 +527,28 @@ def main():
                          "loader/harness contract.  Uses a side rng so the "
                          "objects are identical to a jitter-free run with "
                          "the same seed.")
+    ap.add_argument("--only-stage", choices=["both", "train", "val"],
+                    default="both",
+                    help="restrict WRITING to one stage.  All random draws "
+                         "for skipped objects still happen (the object "
+                         "closures are built and the per-view angles are "
+                         "drawn, nothing is rendered), so the output is "
+                         "byte-identical to the corresponding slice of a "
+                         "full sequential run.  '--only-stage val' "
+                         "fast-forwards the whole train stage in seconds — "
+                         "e.g. to regenerate only a lineage's held-out "
+                         "split for an eval.")
+    ap.add_argument("--obj-start", type=int, default=0,
+                    help="first train-stage object index to WRITE (earlier "
+                         "objects are rng-fast-forwarded).  With --obj-end "
+                         "this shards the train stage across processes for "
+                         "paper-scale lineages (2458 objects ~ 4 h "
+                         "single-threaded); each shard deterministically "
+                         "reproduces its slice of the sequential stream.")
+    ap.add_argument("--obj-end", type=int, default=None,
+                    help="one-past-last train-stage object index to WRITE "
+                         "(default: all).  Val-stage sharding is not "
+                         "supported (val splits are small).")
     args = ap.parse_args()
 
     category = args.category
@@ -550,18 +572,34 @@ def main():
                    else args.val_objects)
     for stage, n_views, n_objects in [("train", args.views, args.objects),
                                       ("val", args.val_views, val_objects)]:
+        if stage == "val" and args.only_stage == "train":
+            break  # val draws come AFTER all train draws; nothing to skip to
         for o in range(n_objects):
-            d = root / f"{args.name}_{stage}" / f"obj{o:03d}"
-            (d / "rgb").mkdir(parents=True, exist_ok=True)
-            (d / "pose").mkdir(parents=True, exist_ok=True)
+            # Sharding/fast-forward: objects outside the write window still
+            # consume the EXACT rng sequence (object closures built, theta/
+            # phi drawn) so every shard reproduces its slice of the single
+            # sequential stream byte-for-byte.  build_object + 2 draws/view
+            # is ~micro­seconds vs ~6 s of sphere tracing per 128px object.
+            write = True
+            if stage == "train":
+                if args.only_stage == "val":
+                    write = False
+                elif not (args.obj_start <= o
+                          and (args.obj_end is None or o < args.obj_end)):
+                    write = False
             obj_focal = focal
-            if args.focal_jitter > 0:
-                fr = np.random.default_rng(
-                    [args.seed, 7007, 0 if stage == "train" else 1, o])
-                obj_focal = focal * float(
-                    1.0 + fr.uniform(-args.focal_jitter, args.focal_jitter))
-            (d / "intrinsics.txt").write_text(
-                f"{obj_focal} {W/2} {H/2} 0.\n0. 0. 0.\n1.\n{H} {W}\n")
+            if write:
+                d = root / f"{args.name}_{stage}" / f"obj{o:03d}"
+                (d / "rgb").mkdir(parents=True, exist_ok=True)
+                (d / "pose").mkdir(parents=True, exist_ok=True)
+                if args.focal_jitter > 0:
+                    fr = np.random.default_rng(
+                        [args.seed, 7007, 0 if stage == "train" else 1, o])
+                    obj_focal = focal * float(
+                        1.0 + fr.uniform(-args.focal_jitter,
+                                         args.focal_jitter))
+                (d / "intrinsics.txt").write_text(
+                    f"{obj_focal} {W/2} {H/2} 0.\n0. 0. 0.\n1.\n{H} {W}\n")
             render = make_renderer(rng, args.style, category)
             for v in range(n_views):
                 # theta is ELEVATION in this parametrization (the reference
@@ -580,6 +618,8 @@ def main():
                 # centers 2.0 (the real SRN chairs rigs sit farther out)
                 rho = 2.0 if category == "chairs" else 1.3
                 pose_gl = spherical_pose(theta, phi, rho)
+                if not write:
+                    continue
                 if stage == "val" and args.val_pose_jitter > 0:
                     jr = np.random.default_rng([args.seed, 9009, o, v])
                     pose_gl = jitter_pose(pose_gl, jr, args.val_pose_jitter)

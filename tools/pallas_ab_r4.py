@@ -44,9 +44,21 @@ CONFIGS = [
 
 
 def main():
-    _arm_watchdog(55.0)
+    import jax
+    # pallas_layer_bwd silently falls back to XLA off-TPU
+    # (models/ray_structured.py gates on jax.default_backend() == 'tpu'),
+    # which would make this print a plausible-looking ~0% A/B table.
+    if jax.default_backend() != "tpu":
+        sys.exit("pallas_ab_r4: refusing to run off-TPU — the layer_bwd "
+                 "arm would silently fall back to XLA and the A/B would "
+                 "compare XLA against itself "
+                 f"(backend={jax.default_backend()!r})")
     results = {}
     for label, hidden, coarse, fine, lbwd in CONFIGS:
+        # re-armed per config: on a cold compilation cache each first
+        # compile is 4-7 min through the tunnel, so one shared 55-min
+        # watchdog could kill the later pairs (ADVICE round 4)
+        _arm_watchdog(15.0)
         t0 = time.perf_counter()
         r = run_bench(num_rays=16384, hidden=hidden, num_coarse=coarse,
                       num_fine=fine, pallas_layer_bwd=lbwd,

@@ -51,10 +51,15 @@ esac
 # (eval.py dataset.basedir=/root/data/synthv3_<cat>) — TTO initializes
 # codes from the table mean, so the val objects need not be table rows.
 case "$OBJECTS" in
-  50)  VER=v3 ;;
-  400) VER=v4 ;;
-  *)   VER="o$OBJECTS" ;;
+  50)   VER=v3 ;;
+  400)  VER=v4 ;;
+  2458) VER=v5 ;;  # paper-scale: the full SRN-cars category object count
+  *)    VER="o$OBJECTS" ;;
 esac
+# v5-scale generation is ~4 h single-threaded; shard it across processes
+# with --only-stage/--obj-start/--obj-end (byte-identical to a sequential
+# run — see tools/make_synth_data.py) before invoking this script, and the
+# [ ! -d ] check below will skip regeneration.
 DATA=/root/data/synth${VER}_$CATEGORY
 LOGS=/root/logs
 ID=flagship-$VER-$CATEGORY
