@@ -124,6 +124,14 @@ class OptimizerConfig:
     # xi with cam_pose = se3_exp(xi) @ spherical_result.  0 = off.
     se3_refine_steps: int = 0
     se3_refine_lr: float = 1e-3
+    # Multi-view TTO ray budget (beyond-reference): by default each of the
+    # V views draws the full num_random_rays pixel subset, so a V-view TTO
+    # step renders V times the rays of the single-view protocol (measured
+    # 0.6-0.8 obj/min vs 2.4 at V=3 — RESULTS.md session 13).  With
+    # tto_view_ray_split=true each view draws num_random_rays // V rays
+    # instead (constant TOTAL ray budget), recovering single-view
+    # throughput at the cost of a noisier per-view gradient.
+    tto_view_ray_split: bool = False
 
     @property
     def resolved_embedding_lr(self) -> float:

@@ -475,6 +475,123 @@ def make_se3_refine_step(settings: RenderSettings, optimizer,
     return jax.jit(refine_step, donate_argnums=(0,))
 
 
+def init_multiview_se3_refine_state(tto_state: TTOState, opt_cfg
+                                    ) -> tuple[TTOState, object, jax.Array]:
+    """Multi-view analog of ``init_se3_refine_state`` (VERDICT round-4
+    item 5: SE(3) refinement and multi-view TTO previously did not
+    compose — the evaluation matrix had a hole exactly where the two
+    strongest beyond-reference features meet).
+
+    From a finished multi-view TTO state (variables theta/phi/rho of
+    shape [K, V]): codes stay shared per object, and the tangent update
+    becomes PER-VIEW — xi [K, V, 6], one 6-DOF correction on top of each
+    view's spherical result:  cam_pose[k, v] = se3_exp(xi[k, v]) @
+    base_poses[k, v].  xi = 0 at init continues exactly from the
+    spherical solution, as in the single-view stage.
+    """
+    from codenerf_tpu.train.optim import build_se3_refine_optimizer
+
+    v = tto_state.variables
+    K, V = v["theta"].shape
+    base_poses = jax.vmap(jax.vmap(pose_spherical))(
+        v["theta"], v["phi"], v["rho"])                     # [K, V, 4, 4]
+    variables = {
+        # copies, not aliases (donation hazard — cf. init_se3_refine_state)
+        "z_s": jnp.array(v["z_s"]),
+        "z_t": jnp.array(v["z_t"]),
+        "xi": jnp.zeros((K, V, 6), jnp.float32),
+    }
+    optimizer = build_se3_refine_optimizer(opt_cfg)
+    return (TTOState(variables, optimizer.init(variables),
+                     jnp.zeros((), jnp.int32)),
+            optimizer, base_poses)
+
+
+def multiview_se3_refined_poses(variables: dict, base_poses: jax.Array
+                                ) -> jax.Array:
+    """cam_pose[k, v] = se3_exp(xi[k, v]) @ base_poses[k, v] -> [K, V, 4, 4]."""
+    return jax.vmap(jax.vmap(lambda xi, base: lie.se3_exp(xi) @ base))(
+        variables["xi"], base_poses)
+
+
+def make_multiview_se3_refine_step(settings: RenderSettings, optimizer,
+                                   num_random_rays: int,
+                                   regularizer_lambda: float,
+                                   perturb: bool, mesh=None) -> Callable:
+    """Build the jitted K-object, V-view SE(3) refinement step.
+
+    Returned signature:
+      step(state, model_params, directions, target_images, base_poses,
+           poses_gt, key) -> (new_state, BatchedTTOMetrics)
+
+    ``target_images``: [K, V, H, W, C]; ``base_poses``/``poses_gt``:
+    [K, V, 4, 4].  Same ray-draw/loss structure as the multi-view
+    spherical step (``num_random_rays`` is PER VIEW, so one step renders
+    K*V*R rays); only the pose parametrization differs.  Per-object
+    metrics average over views; V=1 reproduces make_se3_refine_step's
+    math on squeezed inputs.
+    """
+    R = num_random_rays
+
+    def loss_fn(variables, model_params, directions, target_images,
+                base_poses, key):
+        K, V = target_images.shape[:2]
+        cam_poses = multiview_se3_refined_poses(variables, base_poses)
+        k_sel, k_render = jax.random.split(key)
+        H, W = directions.shape[:2]
+        ro, rd = ray_bundle(directions, cam_poses.reshape(K * V, 4, 4))
+        ro = ro.reshape(K * V, H * W, 3)
+        rd = rd.reshape(K * V, H * W, 3)
+        inds = select_ray_indices(k_sel, H * W, R, K * V)    # [K*V, R]
+        ro = jnp.take_along_axis(ro, inds[..., None],
+                                 axis=1).reshape(K * V * R, 3)
+        rd = jnp.take_along_axis(rd, inds[..., None],
+                                 axis=1).reshape(K * V * R, 3)
+        target = jnp.take_along_axis(
+            target_images.reshape(K * V, H * W, -1), inds[..., None], axis=1)
+        target = target.reshape(K * V * R, -1)
+        ro, rd, target = shard_rays(mesh, ro, rd, target)
+
+        z_s = jnp.broadcast_to(variables["z_s"][:, None, :],
+                               (K, V * R, variables["z_s"].shape[-1]))
+        z_t = jnp.broadcast_to(variables["z_t"][:, None, :],
+                               (K, V * R, variables["z_t"].shape[-1]))
+        out_c, out_f = render_rays(
+            {"coarse": model_params["coarse"], "fine": model_params["fine"]},
+            settings, ro, rd, z_s.reshape(K * V * R, -1),
+            z_t.reshape(K * V * R, -1), k_render, perturb)
+
+        err_c = (out_c.rgb - target[..., :3]) ** 2
+        err_f = (out_f.rgb - target[..., :3]) ** 2
+        loss_c = jnp.mean(err_c.reshape(K, V * R, 3), axis=(1, 2))
+        loss_f = jnp.mean(err_f.reshape(K, V * R, 3), axis=(1, 2))
+        loss_e = regularizer_lambda * jnp.sqrt(float(R)) * (
+            jnp.linalg.norm(variables["z_s"], axis=-1)
+            + jnp.linalg.norm(variables["z_t"], axis=-1))
+        per_object = loss_c + loss_f + loss_e
+        return jnp.sum(per_object), (loss_c, loss_f, loss_e, per_object,
+                                     cam_poses)
+
+    def refine_step(state: TTOState, model_params, directions, target_images,
+                    base_poses, poses_gt, key):
+        (_, (loss_c, loss_f, loss_e, per_object, cam_poses)), grads = (
+            jax.value_and_grad(loss_fn, has_aux=True)(
+                state.variables, model_params, directions, target_images,
+                base_poses, key))
+        updates, opt_state = optimizer.update(grads, state.opt_state,
+                                              state.variables)
+        variables = optax.apply_updates(state.variables, updates)
+        perr = jnp.mean(jax.vmap(jax.vmap(lie.pose_error))(poses_gt,
+                                                           cam_poses),
+                        axis=1)                                  # [K]
+        metrics = BatchedTTOMetrics(
+            loss=per_object, loss_coarse=loss_c, loss_fine=loss_f,
+            loss_embedding=loss_e, psnr=mse2psnr(loss_f), pose_error=perr)
+        return TTOState(variables, opt_state, state.step + 1), metrics
+
+    return jax.jit(refine_step, donate_argnums=(0,))
+
+
 def select_per_object(mask: jax.Array, winner: TTOState, other: TTOState
                       ) -> TTOState:
     """Per-object merge of two batched TTO states: where ``mask[k]`` take

@@ -127,3 +127,41 @@ class TestRunTraining:
         assert np.isfinite(out["psnr"])
         assert "pose multi-start" in capsys.readouterr().out
         logger.close()
+
+    def test_multiview_se3_refine_composition(self, synth_root, tmp_path,
+                                              capsys):
+        """The full beyond-reference TTO stack composes in one harness run:
+        multi-start probing + multi-view TTO (with the constant-total ray
+        budget split) + flip rescue + PER-VIEW SE(3) refinement (VERDICT
+        round-4 item 5: previously the refine stage was skipped when
+        tto_views > 1)."""
+        import dataclasses
+        from codenerf_tpu.harness import Harness, validate_batched
+        from codenerf_tpu.train.state import init_train_state
+        from codenerf_tpu.utils.logging import MetricLogger
+
+        cfg = _cfg(synth_root, tmp_path)
+        cfg = dataclasses.replace(
+            cfg, optimizer=dataclasses.replace(
+                cfg.optimizer, pose_restarts=2, pose_restart_steps=1,
+                pose_flip_steps=1, se3_refine_steps=2,
+                tto_view_ray_split=True))
+        harness = Harness.from_config(cfg)
+        state, _ = init_train_state(jax.random.PRNGKey(0), cfg,
+                                    harness.settings,
+                                    harness.train_dataset.num_objects)
+        logger = MetricLogger(tmp_path / "valmvr", enable_tensorboard=False)
+        out = validate_batched(harness, state.params, logger, num_objects=2,
+                               val_iterations=2, tto_views=2,
+                               return_recovered=True)
+        printed = capsys.readouterr().out
+        assert "SE3 refine" in printed          # the stage RAN (not skipped)
+        assert "not implemented" not in printed
+        assert "tto_view_ray_split: 16 rays/view x 2 views" in printed
+        assert np.isfinite(out["psnr_mean"])
+        assert all(np.isfinite(o["pose_error"]) for o in out["per_object"])
+        rec = out["recovered"]
+        assert rec["z_s"].shape[0] == 2
+        assert rec["final_poses"].shape == (2, 4, 4)
+        assert rec["theta"].shape == (2,)       # view-0 spherical winners
+        logger.close()
