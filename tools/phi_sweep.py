@@ -143,8 +143,16 @@ def main():
               f"(psnr {float(mse2psnr(jnp.asarray(loss_rec))):.2f})")
         print(f"  loss at GT phi:        {loss_gt:.6f} "
               f"(psnr {float(mse2psnr(jnp.asarray(loss_gt))):.2f})")
-        print(f"  basin ratio rec/GT: {tie:.3f} "
-              f"({'SYMMETRY (tie)' if tie < 1.15 else 'MISLOCALIZATION' if tie > 1.5 else 'ambiguous'})")
+        if tie < 1.15:
+            verdict = ("NOT MISLOCALIZATION (recovered basin ties or "
+                       "dominates the GT basin — no deeper basin at the "
+                       "GT azimuth was missed)")
+        elif tie > 1.5:
+            verdict = ("MISLOCALIZATION (GT basin is substantially "
+                       "deeper — TTO missed it)")
+        else:
+            verdict = "ambiguous"
+        print(f"  basin ratio rec/GT: {tie:.3f} ({verdict})")
         print("  profile: " + json.dumps(
             {"phi": [round(float(p), 4) for p in phis],
              "loss": [round(float(l), 6) for l in losses]}))
